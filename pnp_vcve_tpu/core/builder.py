@@ -1,0 +1,302 @@
+"""Builders: config dicts -> framework objects.
+
+The registries carry the reference type names as aliases
+(configs/HR_davis_LR_128x128.py:4-26 keeps working verbatim), mapping them
+onto the TPU-native implementations.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import optax
+
+from .registry import Registry
+from pnp_vcve_tpu.models.pnp_vcve import PnPVCVE
+from pnp_vcve_tpu.models.restorer import Restorer
+from pnp_vcve_tpu.train.schedule import cosine_restart_schedule
+
+__all__ = [
+    "BACKBONES",
+    "MODELS",
+    "DATASETS",
+    "build_generator",
+    "build_restorer",
+    "build_optimizer",
+    "build_dataset",
+    "build_train_datasets",
+]
+
+BACKBONES = Registry("backbones")
+MODELS = Registry("models")
+
+
+@BACKBONES.register(
+    name="PnPVCVE",
+    aliases=("IconVSR_restore_wo_refill_mv_ipb_fast_domain_dynamic_with_par",),
+)
+def _build_pnp_vcve(
+    mid_channels=64,
+    num_blocks=8,
+    num_experts=6,
+    expert_softmax=True,
+    use_base_qp=True,
+    with_bias=True,
+    with_se=True,
+    with_cat=True,
+    one_layer=True,
+    channel_first=True,
+    align_key=True,
+    vsr=False,
+    flow_inter="bilinear",
+    remat=True,
+    # accepted-and-ignored reference knobs (no effect on the flagship path):
+    padding=None,          # EDVR spatial padding (we require %4 inputs)
+    with_par=True,         # partition path is always built for blocktype=drt
+    init_weight=True,      # our init matches the init_weight=True behavior
+    blocktype="drt",
+    sparse_val=False,      # gather-sparsity loses to dense MXU work on TPU
+    small_sft=False,
+    drconv=False,
+    num_group=1,
+    deform="vos",
+    max_residue_magnitude=10,
+    keyframe_stride=5,
+    **kwargs,
+):
+    if blocktype != "drt":
+        raise NotImplementedError(f"blocktype={blocktype!r} not implemented yet")
+    if deform != "vos":
+        raise NotImplementedError(f"deform={deform!r} (DCN aligners) not implemented yet")
+    return PnPVCVE(
+        mid_channels=mid_channels,
+        num_blocks=num_blocks,
+        num_experts=num_experts,
+        expert_softmax=expert_softmax,
+        use_base_qp=use_base_qp,
+        with_bias=with_bias,
+        with_se=with_se,
+        with_cat=with_cat,
+        one_layer=one_layer,
+        channel_first=channel_first,
+        align_key=align_key,
+        vsr=vsr,
+        flow_interpolation=flow_inter,
+        remat=remat,
+    )
+
+
+def build_generator(cfg: dict):
+    return BACKBONES.build(cfg)
+
+
+@MODELS.register(name="Restorer", aliases=("BasicVSR", "BasicRestorer"))
+def _build_restorer(generator: dict, pixel_loss: dict, test_cfg=None, **kwargs):
+    test_cfg = dict(test_cfg or {"metrics": ["PSNR", "SSIM"], "crop_border": 0})
+    pl = dict(pixel_loss)
+    return Restorer(
+        generator=build_generator(dict(generator)),
+        pixel_loss=pl.pop("type", "CharbonnierLoss"),
+        loss_weight=pl.pop("loss_weight", 1.0),
+        test_cfg=test_cfg,
+    )
+
+
+def build_restorer(model_cfg: dict, test_cfg: Optional[dict] = None):
+    cfg = dict(model_cfg)
+    if test_cfg is not None:
+        cfg["test_cfg"] = test_cfg
+    return MODELS.build(cfg)
+
+
+DATASETS = Registry("datasets")
+
+
+def _pipeline_params(pipeline: list[dict]) -> dict:
+    """Extract loader/transform knobs from a reference-style pipeline list."""
+    out = dict(
+        data_ratio=(0.2, 0.6, 0.85, 1.0),
+        replace_qp_with_ipb=False,
+        qp_slice_file=None,
+        gt_patch_size=128,
+        filename_tmpl="{:08d}.png",
+        interval_list=(1,),
+    )
+    for stage in pipeline or []:
+        t = stage.get("type", "")
+        if t.startswith("GenerateSegmentIndices"):
+            out["filename_tmpl"] = stage.get("filename_tmpl", out["filename_tmpl"])
+            out["interval_list"] = tuple(stage.get("interval_list", (1,)))
+        elif t.startswith("LoadImageFromFileList"):
+            out["qp_slice_file"] = stage.get("qp_slice_file", out["qp_slice_file"])
+            out["data_ratio"] = tuple(stage.get("data_ratio", out["data_ratio"]))
+            out["replace_qp_with_ipb"] = stage.get(
+                "replace_qp_withIPB", out["replace_qp_with_ipb"]
+            )
+        elif t == "PairedRandomCrop_mv":
+            out["gt_patch_size"] = stage.get("gt_patch_size", 128)
+    return out
+
+
+@DATASETS.register(name="SRREDSMultipleGTMixCompressDataset")
+def _build_reds_train(
+    lq_folder,
+    gt_folder,
+    cprs15_folder,
+    cprs25_folder,
+    cprs35_folder,
+    num_input_frames=15,
+    scale=1,
+    pipeline=None,
+    val_partition="REDS4",
+    test_mode=False,
+    **kwargs,
+):
+    from pnp_vcve_tpu.data.datasets import (
+        ClipIndex,
+        MixCompressTrainDataset,
+        REDS4_CLIPS,
+        reds_train_clips,
+    )
+
+    if val_partition == "REDS4":
+        val = REDS4_CLIPS
+    elif val_partition == "official":
+        val = tuple(f"{i:03d}" for i in range(240, 270))
+    else:
+        raise ValueError(f"Unknown val_partition {val_partition!r}")
+    names = list(val) if test_mode else reds_train_clips(val)
+    clips = [ClipIndex(n, 100) for n in names]
+    p = _pipeline_params(pipeline)
+    return MixCompressTrainDataset(
+        lq_folder=lq_folder,
+        gt_folder=gt_folder,
+        cprs15_folder=cprs15_folder,
+        cprs25_folder=cprs25_folder,
+        cprs35_folder=cprs35_folder,
+        qp_slice_file=p["qp_slice_file"],
+        clips=clips,
+        num_input_frames=num_input_frames,
+        scale=scale,
+        gt_patch_size=p["gt_patch_size"],
+        filename_tmpl=p["filename_tmpl"],
+        data_ratio=p["data_ratio"],
+        interval_list=p["interval_list"],
+        replace_qp_with_ipb=p["replace_qp_with_ipb"],
+    )
+
+
+@DATASETS.register(name="DAVISMultipleGTMixCompressDataset")
+def _build_davis_train(
+    lq_folder,
+    gt_folder,
+    cprs15_folder,
+    cprs25_folder,
+    cprs35_folder,
+    num_input_frames=15,
+    scale=1,
+    pipeline=None,
+    test_mode=False,
+    **kwargs,
+):
+    from pnp_vcve_tpu.data.datasets import ClipIndex, MixCompressTrainDataset
+
+    import os
+
+    names = sorted(d.name for d in os.scandir(lq_folder) if d.is_dir())
+    # reference hardcodes sequence_length=20 for DAVIS clips
+    # (sr_dsvis_multiple_gt_compress_dataset.py:84)
+    clips = [ClipIndex(n, 20) for n in names]
+    p = _pipeline_params(pipeline)
+    return MixCompressTrainDataset(
+        lq_folder=lq_folder,
+        gt_folder=gt_folder,
+        cprs15_folder=cprs15_folder,
+        cprs25_folder=cprs25_folder,
+        cprs35_folder=cprs35_folder,
+        qp_slice_file=p["qp_slice_file"],
+        clips=clips,
+        num_input_frames=num_input_frames,
+        scale=scale,
+        gt_patch_size=p["gt_patch_size"],
+        filename_tmpl=p["filename_tmpl"],
+        data_ratio=p["data_ratio"],
+        interval_list=p["interval_list"],
+        replace_qp_with_ipb=p["replace_qp_with_ipb"],
+    )
+
+
+@DATASETS.register(name="SRREDSMultipleGTCompressDataset")
+def _build_reds_test(
+    lq_folder,
+    gt_folder,
+    num_input_frames=100,
+    scale=1,
+    pipeline=None,
+    val_partition="REDS4",
+    test_mode=True,
+    **kwargs,
+):
+    from pnp_vcve_tpu.data.datasets import (
+        ClipIndex,
+        CompressTestDataset,
+        REDS4_CLIPS,
+    )
+
+    val = (
+        REDS4_CLIPS
+        if val_partition == "REDS4"
+        else tuple(f"{i:03d}" for i in range(240, 270))
+    )
+    clips = [ClipIndex(n, 100) for n in val]
+    p = _pipeline_params(pipeline)
+    return CompressTestDataset(
+        lq_folder=lq_folder,
+        gt_folder=gt_folder,
+        qp_slice_file=p["qp_slice_file"],
+        clips=clips,
+        num_input_frames=num_input_frames,
+        scale=scale,
+        filename_tmpl=p["filename_tmpl"],
+        replace_qp_with_ipb=p["replace_qp_with_ipb"],
+    )
+
+
+def build_dataset(cfg: dict):
+    """Build one dataset; unwraps RepeatDataset (our sampler is infinite,
+    RepeatDataset x1000 exists in the reference only to satisfy the
+    epoch-based loader, dataset_wrappers.py:5-39)."""
+    cfg = dict(cfg)
+    if cfg.get("type") == "RepeatDataset":
+        return build_dataset(dict(cfg["dataset"]))
+    return DATASETS.build(cfg)
+
+
+def build_train_datasets(cfg_list):
+    if isinstance(cfg_list, dict):
+        cfg_list = [cfg_list]
+    return [build_dataset(c) for c in cfg_list]
+
+
+def build_optimizer(cfg: dict, lr_config: Optional[dict] = None, total_iters: int = 300_000):
+    """Adam + cosine-restart schedule from the config's optimizer/lr_config
+    dicts (configs/HR_davis_LR_128x128.py:209-224)."""
+    opt = dict(cfg.get("generator", cfg))
+    typ = opt.pop("type", "Adam")
+    lr = opt.pop("lr", 2e-4)
+    betas = opt.pop("betas", (0.9, 0.999))
+    opt.pop("paramwise_cfg", None)  # spynet lr_mult — no spynet in flagship
+
+    if lr_config is not None and lr_config.get("policy") == "CosineRestart":
+        schedule = cosine_restart_schedule(
+            lr,
+            lr_config.get("periods", [total_iters]),
+            lr_config.get("restart_weights", [1.0]),
+            lr_config.get("min_lr", 0.0),
+        )
+    else:
+        schedule = lr
+
+    if typ != "Adam":
+        raise NotImplementedError(f"optimizer {typ!r}")
+    return optax.adam(schedule, b1=betas[0], b2=betas[1])

@@ -1,0 +1,345 @@
+"""PnP-VCVE flagship generator: CAA hyper-network + bidirectional BAE.
+
+Reference model:
+``IconVSR_restore_wo_refill_mv_ipb_fast_domain_dynamic_with_par``
+(mmedit/models/backbones/sr_backbones/iconvsr_ipb_par.py:17-149, parents
+iconvsr_ipb.py:15-46 and iconvsr.py:344-523), flagship config
+``configs/HR_davis_LR_128x128.py:4-26``.
+
+TPU-native redesign
+-------------------
+The reference runs a Python double loop over ``t`` timesteps x ``n`` batch
+items, with a data-dependent ``torch.where`` nearest-keyframe lookup per
+(batch, step) (iconvsr_ipb_par.py:71-147). Here:
+
+- Keyframe routing is precomputed as dense ``(b, t)`` index arrays from the
+  slice-type codes with two cumulative scans (``cummax``/``cummin``) — no
+  data-dependent control flow reaches the device loop.
+- Both propagation sweeps are single ``nn.scan``-transformed steps; the
+  per-step feature store (the reference's Python list ``outputs``) is a
+  ``(b, t, h, w, c)`` HBM ring carried through the scan and updated with
+  ``dynamic_update_slice`` (in-place under XLA buffer donation).
+- The keyframe feature gather ``outputs[key_idx][batch]`` becomes a
+  ``take_along_axis`` over the carried buffer.
+- Warping uses the bitstream flows directly (``ops.flow_warp``); slice codes
+  73/'I' and 80/'P' mark keyframes, with the first/last frame forced
+  (iconvsr_ipb_par.py:60-62).
+- ``align_key`` aliasing (reuse the key warp as the neighbor warp when the
+  neighbor IS the key, iconvsr_ipb_par.py:84-87,119-122) is a vectorized
+  per-sample select.
+
+Inputs are NHWC: ``lrs (b,t,h,w,3)``, ``mvs (b,t,h,w,4)`` (fwd x,y, bwd x,y),
+``par_map (b,t,h,w,3)``, scalars ``qps/slices/base_qps (b,t)``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pnp_vcve_tpu.models.caa import BasePredictor, BiasPredictor, SEModule
+from pnp_vcve_tpu.models.bae import ResidualBlocksWithInputConvDynamicDRT
+from pnp_vcve_tpu.models.init import torch_conv_default, torch_conv_bias_default
+from pnp_vcve_tpu.ops.dynamic_conv import conv2d_nhwc
+from pnp_vcve_tpu.ops.warp import flow_warp
+from pnp_vcve_tpu.ops.upsample import pixel_shuffle, bilinear_resize
+
+__all__ = ["PnPVCVE", "keyframe_indices"]
+
+I_SLICE = 73.0  # ord('I')
+P_SLICE = 80.0  # ord('P')
+
+
+def keyframe_indices(slices: jnp.ndarray):
+    """Dense keyframe routing tables from per-frame slice codes.
+
+    Args:
+      slices: (b, t) float/int slice-type codes (ord values).
+
+    Returns:
+      (keyframe (b,t) bool, key_fwd (b,t) int32, key_bwd (b,t) int32) where
+      ``key_fwd[b,i]`` is the nearest keyframe index strictly before ``i``
+      (valid for i>=1) and ``key_bwd[b,i]`` the nearest strictly after ``i``
+      (valid for i<=t-2). First/last frames are forced keyframes
+      (reference iconvsr_ipb_par.py:60-62).
+    """
+    slices = jnp.asarray(slices)
+    b, t = slices.shape
+    keyframe = (slices == I_SLICE) | (slices == P_SLICE)
+    keyframe = keyframe.at[:, 0].set(True).at[:, -1].set(True)
+
+    iota = jnp.arange(t, dtype=jnp.int32)[None, :]
+    # nearest key at-or-before i, then shift to "strictly before"
+    before = jax.lax.cummax(jnp.where(keyframe, iota, -1), axis=1)
+    key_fwd = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32), before[:, :-1]], axis=1
+    )
+    # nearest key at-or-after i, then shift to "strictly after"
+    after = jnp.flip(
+        jax.lax.cummin(jnp.flip(jnp.where(keyframe, iota, t), axis=1), axis=1),
+        axis=1,
+    )
+    key_bwd = jnp.concatenate(
+        [after[:, 1:], jnp.full((b, 1), t - 1, jnp.int32)], axis=1
+    )
+    return keyframe, key_fwd, key_bwd
+
+
+class _BackwardStep(nn.Module):
+    """One step of the backward sweep (scanned over time, last->first)."""
+
+    mid_channels: int
+    num_blocks: int
+    num_experts: int
+    with_se: bool
+    one_layer: bool
+    channel_first: bool
+    with_cat: bool
+    align_key: bool
+    flow_interpolation: str
+
+    @nn.compact
+    def __call__(self, buf, xs):
+        i, lr, flow, par, weights, gamma, key_idx = xs
+        b, t = buf.shape[0], buf.shape[1]
+
+        key_feat = jnp.take_along_axis(
+            buf, key_idx[:, None, None, None, None], axis=1
+        )[:, 0]
+        key_warp = flow_warp(key_feat, flow, self.flow_interpolation)
+        nbr_i = jnp.minimum(i + 1, t - 1)
+        neighbor = jax.lax.dynamic_index_in_dim(buf, nbr_i, axis=1, keepdims=False)
+        if self.align_key:
+            use_key = (key_idx == i + 1)[:, None, None, None]
+            neighbor = jnp.where(use_key, key_warp, neighbor)
+        is_last = (i == t - 1)
+        zero = jnp.zeros((), buf.dtype)
+        key_warp = jnp.where(is_last, zero, key_warp)
+        neighbor = jnp.where(is_last, zero, neighbor)
+
+        if self.with_cat:
+            feat = jnp.concatenate([lr, key_warp, neighbor], axis=-1)
+        else:
+            feat = jnp.concatenate([lr, key_warp], axis=-1)
+
+        out = ResidualBlocksWithInputConvDynamicDRT(
+            in_channels=feat.shape[-1],
+            out_channels=self.mid_channels,
+            num_blocks=self.num_blocks,
+            num_experts=self.num_experts,
+            with_se=self.with_se,
+            one_layer=self.one_layer,
+            channel_first=self.channel_first,
+            name="resblocks",
+        )(feat, par, weights, gamma)
+
+        buf = jax.lax.dynamic_update_slice_in_dim(buf, out[:, None], i, axis=1)
+        return buf, None
+
+
+class _ForwardStep(nn.Module):
+    """One step of the forward sweep + reconstruction head."""
+
+    mid_channels: int
+    num_blocks: int
+    num_experts: int
+    with_se: bool
+    one_layer: bool
+    channel_first: bool
+    with_cat: bool
+    align_key: bool
+    flow_interpolation: str
+    vsr: bool
+
+    @nn.compact
+    def __call__(self, buf, xs):
+        i, lr, flow, par, weights, gamma, key_idx = xs
+        b, t = buf.shape[0], buf.shape[1]
+
+        key_feat = jnp.take_along_axis(
+            buf, key_idx[:, None, None, None, None], axis=1
+        )[:, 0]
+        key_warp = flow_warp(key_feat, flow, self.flow_interpolation)
+        nbr_i = jnp.maximum(i - 1, 0)
+        neighbor = jax.lax.dynamic_index_in_dim(buf, nbr_i, axis=1, keepdims=False)
+        if self.align_key:
+            use_key = (key_idx == i - 1)[:, None, None, None]
+            neighbor = jnp.where(use_key, key_warp, neighbor)
+        is_first = (i == 0)
+        zero = jnp.zeros((), buf.dtype)
+        key_warp = jnp.where(is_first, zero, key_warp)
+        neighbor = jnp.where(is_first, zero, neighbor)
+
+        cur = jax.lax.dynamic_index_in_dim(buf, i, axis=1, keepdims=False)
+        if self.with_cat:
+            feat = jnp.concatenate([lr, key_warp, neighbor, cur], axis=-1)
+        else:
+            feat = jnp.concatenate([lr, key_warp, cur], axis=-1)
+
+        out = ResidualBlocksWithInputConvDynamicDRT(
+            in_channels=feat.shape[-1],
+            out_channels=self.mid_channels,
+            num_blocks=self.num_blocks,
+            num_experts=self.num_experts,
+            with_se=self.with_se,
+            one_layer=self.one_layer,
+            channel_first=self.channel_first,
+            name="resblocks",
+        )(feat, par, weights, gamma)
+
+        buf = jax.lax.dynamic_update_slice_in_dim(buf, out[:, None], i, axis=1)
+
+        c = self.mid_channels
+        lrelu = lambda v: nn.leaky_relu(v, negative_slope=0.1)  # noqa: E731
+        # the reference hardcodes 64-channel heads (iconvsr.py:365-366,
+        # upsample2 -> 64 ch); identical at mid_channels=64, parameterized here
+        if self.vsr:
+            up1_k = self.param("upsample1_kernel", torch_conv_default, (3, 3, c, 4 * c))
+            up1_b = self.param("upsample1_bias", torch_conv_bias_default(9 * c), (4 * c,))
+            up2_k = self.param("upsample2_kernel", torch_conv_default, (3, 3, c, 4 * c))
+            up2_b = self.param("upsample2_bias", torch_conv_bias_default(9 * c), (4 * c,))
+            y = lrelu(pixel_shuffle(conv2d_nhwc(out, up1_k, up1_b), 2))
+            y = lrelu(pixel_shuffle(conv2d_nhwc(y, up2_k, up2_b), 2))
+            head_in = y
+            base = bilinear_resize(lr, 4)
+        else:
+            head_in = out
+            base = lr
+
+        hr_k = self.param("conv_hr_kernel", torch_conv_default, (3, 3, c, c))
+        hr_b = self.param("conv_hr_bias", torch_conv_bias_default(9 * c), (c,))
+        last_k = self.param("conv_last_kernel", torch_conv_default, (3, 3, c, 3))
+        last_b = self.param("conv_last_bias", torch_conv_bias_default(9 * c), (3,))
+        y = lrelu(conv2d_nhwc(head_in, hr_k, hr_b))
+        y = conv2d_nhwc(y, last_k, last_b)
+        y = y + base
+        return buf, y
+
+
+class PnPVCVE(nn.Module):
+    """Flagship generator (config configs/HR_davis_LR_128x128.py:4-26)."""
+
+    mid_channels: int = 64
+    num_blocks: int = 8
+    num_experts: int = 6
+    expert_softmax: bool = True
+    use_base_qp: bool = True
+    with_bias: bool = True
+    with_se: bool = True
+    with_cat: bool = True
+    one_layer: bool = True
+    channel_first: bool = True
+    align_key: bool = True
+    vsr: bool = False
+    se_reduction: int = 16
+    flow_interpolation: str = "bilinear"
+    remat: bool = True
+    feature_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        lrs: jnp.ndarray,
+        qps: jnp.ndarray,
+        slices: jnp.ndarray,
+        mvs: jnp.ndarray,
+        base_qps: jnp.ndarray,
+        par_map: jnp.ndarray,
+        is_mirror_extended: bool = False,
+    ) -> jnp.ndarray:
+        b, t, h, w, _ = lrs.shape
+        if h % 4 or w % 4:
+            # the reference reflect-pads to x4 (iconvsr.py:371-394) but its MV
+            # path only ever sees x4-divisible inputs; we require it up front.
+            raise ValueError(f"Input spatial size must be divisible by 4, got {h}x{w}")
+        c = self.mid_channels
+
+        used_qps = base_qps if self.use_base_qp else qps
+        weights = BasePredictor(
+            nf=c, num_experts=self.num_experts, softmax=self.expert_softmax,
+            name="base_predictor",
+        )(used_qps)
+        if self.with_bias:
+            predictor = (
+                SEModule(channels=c, reduction=self.se_reduction, name="bias_predictor")
+                if self.with_se
+                else BiasPredictor(nf=c, name="bias_predictor")
+            )
+            gammas, _betas = predictor(qps)
+        else:
+            gammas = jnp.ones((b, t, c), jnp.float32)
+
+        # bitstream flows (reference iconvsr_ipb.py:33-46):
+        # forward step i warps with mvs[:, i, ..., 0:2] (flow i-1 in the
+        # reference's shifted array), backward step i with mvs[:, i, ..., 2:4].
+        flows_fwd = mvs[..., 0:2]
+        flows_bwd = mvs[..., 2:4]
+        if is_mirror_extended:
+            # flows_forward is None -> forward step i uses flows_backward[-i]
+            # (iconvsr_ipb_par.py:113-115 with the ipb compute_flow layout)
+            th = t // 2
+            fwd_tail = jnp.flip(flows_fwd[:, th:], axis=1)
+            flows_fwd = jnp.concatenate([flows_bwd[:, :1] * 0, fwd_tail[:, : t - 1]], 1)
+
+        _, key_fwd, key_bwd = keyframe_indices(slices)
+
+        dtype = self.feature_dtype
+        lrs_c = lrs.astype(dtype)
+        buf = jnp.zeros((b, t, h, w, c), dtype)
+
+        iota = jnp.arange(t, dtype=jnp.int32)
+
+        common = dict(
+            mid_channels=c,
+            num_blocks=self.num_blocks,
+            num_experts=self.num_experts,
+            with_se=self.with_se,
+            one_layer=self.one_layer,
+            channel_first=self.channel_first,
+            with_cat=self.with_cat,
+            align_key=self.align_key,
+            flow_interpolation=self.flow_interpolation,
+        )
+
+        scan_kwargs = dict(
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )
+        bwd_cls = nn.remat(_BackwardStep) if self.remat else _BackwardStep
+        fwd_cls = nn.remat(_ForwardStep) if self.remat else _ForwardStep
+        bwd = nn.scan(bwd_cls, **scan_kwargs)(**common, name="backward")
+        fwd = nn.scan(fwd_cls, **scan_kwargs)(**common, vsr=self.vsr, name="forward")
+
+        # scan xs have time on axis 0: (t, b, ...)
+        def tfirst(x):
+            return jnp.moveaxis(x, 1, 0)
+
+        rev = slice(None, None, -1)
+        xs_bwd = (
+            iota[rev],
+            tfirst(lrs_c)[rev],
+            tfirst(flows_bwd.astype(dtype))[rev],
+            tfirst(par_map.astype(dtype))[rev],
+            tfirst(weights.astype(jnp.float32))[rev],
+            tfirst(gammas.astype(jnp.float32))[rev],
+            tfirst(key_bwd)[rev],
+        )
+        buf, _ = bwd(buf, xs_bwd)
+
+        xs_fwd = (
+            iota,
+            tfirst(lrs_c),
+            tfirst(flows_fwd.astype(dtype)),
+            tfirst(par_map.astype(dtype)),
+            tfirst(weights.astype(jnp.float32)),
+            tfirst(gammas.astype(jnp.float32)),
+            tfirst(key_fwd),
+        )
+        _, ys = fwd(buf, xs_fwd)
+
+        return jnp.moveaxis(ys, 0, 1).astype(jnp.float32)

@@ -1,0 +1,126 @@
+"""Per-sample mixture-of-experts convolution, TPU-native formulation.
+
+The reference mixes a bank of K conv kernels with per-sample routing weights
+and runs one grouped conv with ``groups=batch`` — a cuDNN-specific trick
+(reference: mmedit/models/common/sr_backbone_utils.py:134-209,
+``Dynamic_conv2d`` / ``Dynamic_conv2d_se``).
+
+On TPU the idiomatic form is:
+
+1. mix the kernel bank per sample with one small einsum
+   (``(b,K) x (K,kh,kw,i,o) -> (b,kh,kw,i,o)``), then
+2. apply the per-sample kernels as ``kh*kw`` batched matmuls over shifted
+   views ("shifted matmul"): ``out[b] = sum_{dy,dx} pad(x)[b, y+dy, x+dx] @
+   W[b, dy, dx]``. Each term is a (b, h*w, cin) x (b, cin, cout) batched GEMM
+   that maps straight onto the MXU — no grouped-conv emulation, no dynamic
+   shapes, fp32 accumulation via ``preferred_element_type``.
+
+Weight bank layout: ``(K, kh, kw, cin, cout)`` (HWIO per expert). The torch
+checkpoint layout ``(K, cout, cin, kh, kw)`` is transposed by the converter.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["mix_expert_kernels", "dynamic_conv2d", "conv2d_nhwc"]
+
+
+def mix_expert_kernels(
+    weights: jnp.ndarray,
+    kernel_bank: jnp.ndarray,
+    bias_bank: jnp.ndarray | None = None,
+):
+    """Mix expert kernels with per-sample routing weights.
+
+    Args:
+      weights: (b, K) routing weights (already softmaxed if configured).
+      kernel_bank: (K, kh, kw, cin, cout).
+      bias_bank: optional (K, cout).
+
+    Returns:
+      (kernels (b, kh, kw, cin, cout), biases (b, cout) or None)
+    """
+    mixed = jnp.einsum(
+        "bk,khwio->bhwio", weights, kernel_bank, preferred_element_type=jnp.float32
+    ).astype(kernel_bank.dtype)
+    mixed_bias = None
+    if bias_bank is not None:
+        mixed_bias = jnp.einsum(
+            "bk,ko->bo", weights, bias_bank, preferred_element_type=jnp.float32
+        ).astype(bias_bank.dtype)
+    return mixed, mixed_bias
+
+
+def dynamic_conv2d(
+    x: jnp.ndarray,
+    kernels: jnp.ndarray,
+    biases: jnp.ndarray | None = None,
+    gamma: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Per-sample 3x3 (or kxk) 'same' conv via shifted batched matmuls.
+
+    Args:
+      x: (b, h, w, cin) NHWC input.
+      kernels: (b, kh, kw, cin, cout) per-sample kernels (from
+        :func:`mix_expert_kernels`).
+      biases: optional (b, cout).
+      gamma: optional (b, cout) per-sample channel gain applied to the output
+        (the ``with_se`` gain of the reference Dynamic_conv2d_se,
+        sr_backbone_utils.py:207-208).
+
+    Returns:
+      (b, h, w, cout)
+    """
+    b, h, w, cin = x.shape
+    _, kh, kw, _, cout = kernels.shape
+    kernels = kernels.astype(x.dtype)
+    ph, pw = kh // 2, kw // 2
+
+    xp = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    out = jnp.zeros((b, h, w, cout), dtype=jnp.float32)
+    for dy in range(kh):
+        for dx in range(kw):
+            window = jax.lax.dynamic_slice(
+                xp, (0, dy, dx, 0), (b, h, w, cin)
+            )
+            out = out + jnp.einsum(
+                "bhwi,bio->bhwo",
+                window,
+                kernels[:, dy, dx],
+                preferred_element_type=jnp.float32,
+            )
+    if biases is not None:
+        out = out + biases[:, None, None, :].astype(jnp.float32)
+    if gamma is not None:
+        out = out * gamma[:, None, None, :].astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def conv2d_nhwc(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    stride: int = 1,
+    padding: str | int = "SAME",
+    feature_group_count: int = 1,
+) -> jnp.ndarray:
+    """Plain shared-weight NHWC conv (XLA conv, MXU path).
+
+    kernel: (kh, kw, cin/groups, cout) HWIO.
+    """
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    out = jax.lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=feature_group_count,
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)

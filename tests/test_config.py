@@ -1,0 +1,62 @@
+"""Config system + builder tests."""
+
+import numpy as np
+import pytest
+
+from pnp_vcve_tpu.core.config import Config
+from pnp_vcve_tpu.core.builder import build_restorer
+from pnp_vcve_tpu.models import PnPVCVE
+from pnp_vcve_tpu.models.restorer import Restorer
+
+
+def test_fromfile_flagship_config():
+    cfg = Config.fromfile("configs/HR_davis_LR_128x128.py")
+    assert cfg.model["type"] == "BasicVSR"
+    assert cfg.model["generator"]["num_experts"] == 6
+    assert cfg.total_iters == 300000
+    assert cfg.data["train_dataloader"]["weights"] == [1, 2, 1]
+    assert len(cfg.data["train"]) == 3
+
+
+def test_cfg_options_merge():
+    cfg = Config.fromfile("configs/HR_davis_LR_128x128.py")
+    cfg.merge_from_options(
+        {"model.generator.num_blocks": "4", "total_iters": "100", "lr_config.min_lr": "1e-6"}
+    )
+    assert cfg.model["generator"]["num_blocks"] == 4
+    assert cfg.total_iters == 100
+    assert cfg.lr_config["min_lr"] == pytest.approx(1e-6)
+
+
+def test_base_inheritance(tmp_path):
+    (tmp_path / "base.py").write_text("a = dict(x=1, y=2)\nb = 3\n")
+    (tmp_path / "child.py").write_text("_base_ = ['base.py']\na = dict(y=5)\nc = 7\n")
+    cfg = Config.fromfile(tmp_path / "child.py")
+    assert cfg.a["x"] == 1 and cfg.a["y"] == 5
+    assert cfg.b == 3 and cfg.c == 7
+
+
+def test_build_restorer_from_reference_names():
+    cfg = Config.fromfile("configs/HR_davis_LR_128x128.py")
+    restorer = build_restorer(cfg.model, cfg.get("test_cfg"))
+    assert isinstance(restorer, Restorer)
+    gen = restorer.generator
+    assert isinstance(gen, PnPVCVE)
+    assert gen.num_blocks == 8 and gen.num_experts == 6
+    assert gen.align_key and not gen.vsr
+    assert restorer.pixel_loss == "CharbonnierLoss"
+    assert restorer.test_cfg["metrics"] == ["PSNR", "SSIM"]
+
+
+def test_evaluate_clip_protocol():
+    r = Restorer(generator=None)
+    rng = np.random.default_rng(0)
+    gt = rng.random((3, 24, 24, 3)).astype(np.float32)
+    out = np.clip(gt + rng.normal(0, 0.05, gt.shape).astype(np.float32), 0, 1)
+    m = r.evaluate_clip(out, gt)
+    assert set(m) == {"PSNR", "SSIM"}
+    assert 15 < m["PSNR"] < 40
+    assert 0.5 < m["SSIM"] <= 1.0
+    perfect = r.evaluate_clip(gt, gt)
+    assert perfect["PSNR"] == float("inf")
+    assert perfect["SSIM"] == pytest.approx(1.0)

@@ -1,0 +1,191 @@
+"""End-to-end slice: synthetic dataset on disk -> loader -> train steps ->
+full-clip eval with PSNR/SSIM. Exercises every layer together."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pnp_vcve_tpu.data.datasets import (
+    ClipIndex,
+    CompressTestDataset,
+    MixCompressTrainDataset,
+)
+from pnp_vcve_tpu.data.loader import PrefetchLoader, WeightedMixture, collate
+
+T_FRAMES = 6
+H, W = 32, 48
+
+
+def _write_clip(root, crf, clip, n_frames, rng):
+    png_dir = root / f"crf{crf}" / "png" / clip
+    mv_dir = root / f"crf{crf}" / "mv" / clip
+    png_dir.mkdir(parents=True, exist_ok=True)
+    mv_dir.mkdir(parents=True, exist_ok=True)
+    qp_entries = {}
+    for i in range(n_frames):
+        img = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+        Image.fromarray(img).save(png_dir / f"{i:08d}.png")
+        # one MV record per frame: a 16x16 block with a small forward motion
+        if i == 0:
+            recs = np.zeros((0, 10), np.float32)
+            st = "I"
+        else:
+            recs = np.array(
+                [[-1, 16, 16, 8, 8, 8, 8, 4.0, -4.0, 4.0]], np.float32
+            )
+            st = "P" if i % 2 else "B"
+        np.save(mv_dir / f"{i:08d}.npy", recs)
+        qp_entries[str(i)] = {"QP": 20.0 + i, "slice": st}
+    return qp_entries
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("reds_tiny")
+    rng = np.random.default_rng(0)
+    sidecar = {}
+    for crf in (15, 25, 35):
+        sidecar[f"crf{crf}"] = {}
+        for clip in ("000", "001"):
+            sidecar[f"crf{crf}"][clip] = _write_clip(root, crf, clip, T_FRAMES, rng)
+    # gt frames
+    for clip in ("000", "001"):
+        gt_dir = root / "sharp" / "png" / clip
+        gt_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(T_FRAMES):
+            img = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+            Image.fromarray(img).save(gt_dir / f"{i:08d}.png")
+    (root / "qp.json").write_text(json.dumps(sidecar))
+    return root
+
+
+def make_train_dataset(root, **over):
+    kw = dict(
+        lq_folder=str(root / "crf15" / "png"),
+        gt_folder=str(root / "sharp" / "png"),
+        cprs15_folder=str(root / "crf15" / "png"),
+        cprs25_folder=str(root / "crf25" / "png"),
+        cprs35_folder=str(root / "crf35" / "png"),
+        qp_slice_file=str(root / "qp.json"),
+        clips=[ClipIndex("000", T_FRAMES), ClipIndex("001", T_FRAMES)],
+        num_input_frames=3,
+        gt_patch_size=16,
+    )
+    kw.update(over)
+    return MixCompressTrainDataset(**kw)
+
+
+def test_train_sample_shapes_and_ranges(dataset_root):
+    ds = make_train_dataset(dataset_root)
+    s = ds.sample(np.random.default_rng(0))
+    assert s["lq"].shape == (3, 16, 16, 3)
+    assert s["gt"].shape == (3, 16, 16, 3)
+    assert s["mvs"].shape == (3, 16, 16, 4)
+    assert s["partitions"].shape == (3, 16, 16, 3)
+    assert s["qps"].shape == (3,)
+    assert 0 <= s["lq"].min() and s["lq"].max() <= 1.0
+    # partitions rescaled to {0, 1/255} (reference quirk)
+    vals = np.unique(s["partitions"])
+    assert all(v in (0.0, pytest.approx(1 / 255)) for v in vals)
+    # slices are raw ord codes
+    assert set(np.unique(s["slices"])).issubset({66.0, 73.0, 80.0})
+
+
+def test_crf_mixture_respects_ratios(dataset_root):
+    ds = make_train_dataset(dataset_root)
+    counts = {0: 0, 15: 0, 25: 0, 35: 0}
+    for i in range(200):
+        s = ds.sample(np.random.default_rng(i))
+        counts[int(round(s["base_qps"][0] * 255))] += 1
+    # data_ratio (0.2, 0.6, 0.85, 1.0) -> p = .2/.4/.25/.15
+    assert counts[0] > 15 and counts[15] > 60 and counts[25] > 25 and counts[35] > 10
+
+
+def test_loader_batches_and_is_deterministic(dataset_root):
+    ds = make_train_dataset(dataset_root)
+    mix = WeightedMixture([ds, ds], [1, 2])
+    l1 = PrefetchLoader(mix, batch_size=2, seed=7, num_threads=2)
+    b1 = next(iter(l1))
+    l1.stop()
+    l2 = PrefetchLoader(mix, batch_size=2, seed=7, num_threads=1)
+    b2 = next(iter(l2))
+    l2.stop()
+    assert b1["lq"].shape == (2, 3, 16, 16, 3)
+    np.testing.assert_array_equal(np.asarray(b1["lq"]), np.asarray(b2["lq"]))
+    np.testing.assert_array_equal(np.asarray(b1["mvs"]), np.asarray(b2["mvs"]))
+
+
+def test_end_to_end_train_and_eval(dataset_root):
+    import jax
+    import optax
+
+    from pnp_vcve_tpu.models import PnPVCVE
+    from pnp_vcve_tpu.models.restorer import Restorer
+    from pnp_vcve_tpu.train import (
+        charbonnier_loss,
+        create_train_state,
+        make_train_step,
+    )
+    from pnp_vcve_tpu.train.eval import evaluate_dataset
+
+    ds = make_train_dataset(dataset_root)
+    loader = PrefetchLoader(ds, batch_size=2, seed=0, num_threads=2)
+    it = iter(loader)
+
+    model = PnPVCVE(mid_channels=8, num_blocks=1, num_experts=2, remat=True)
+    batch = next(it)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        lrs=batch["lq"], qps=batch["qps"], slices=batch["slices"],
+        mvs=batch["mvs"], base_qps=batch["base_qps"], par_map=batch["partitions"],
+    )["params"]
+    state = create_train_state(params, optax.adam(1e-3))
+    step = make_train_step(model, charbonnier_loss, donate=False)
+    for _ in range(3):
+        state, metrics = step(state, next(it))
+    loader.stop()
+    assert np.isfinite(float(metrics["loss"]))
+
+    test_ds = CompressTestDataset(
+        lq_folder=str(dataset_root / "crf15" / "png"),
+        gt_folder=str(dataset_root / "sharp" / "png"),
+        qp_slice_file=str(dataset_root / "qp.json"),
+        clips=[ClipIndex("000", T_FRAMES)],
+        num_input_frames=4,
+    )
+    assert test_ds.base_qp == 15
+    restorer = Restorer(generator=model)
+    agg = evaluate_dataset(restorer, state.params, test_ds, verbose=False)
+    assert set(agg) == {"PSNR", "SSIM"}
+    assert np.isfinite(agg["PSNR"])
+
+
+def test_eval_chunked_matches_shape(dataset_root):
+    import jax
+    from pnp_vcve_tpu.models import PnPVCVE
+    from pnp_vcve_tpu.train.eval import enhance_clip
+    from pnp_vcve_tpu.train.train_step import make_eval_step
+
+    test_ds = CompressTestDataset(
+        lq_folder=str(dataset_root / "crf15" / "png"),
+        gt_folder=str(dataset_root / "sharp" / "png"),
+        qp_slice_file=str(dataset_root / "qp.json"),
+        clips=[ClipIndex("000", T_FRAMES)],
+        num_input_frames=6,
+    )
+    sample = test_ds.load_clip(0)
+    model = PnPVCVE(mid_channels=8, num_blocks=1, num_experts=2, remat=False)
+    batch = {
+        k: np.asarray(sample[k][:3])[None]
+        for k in ("lq", "qps", "slices", "mvs", "base_qps", "partitions")
+    }
+    params = model.init(
+        jax.random.PRNGKey(0),
+        lrs=batch["lq"], qps=batch["qps"], slices=batch["slices"],
+        mvs=batch["mvs"], base_qps=batch["base_qps"], par_map=batch["partitions"],
+    )["params"]
+    step = make_eval_step(model)
+    out = enhance_clip(step, params, sample, chunk_t=3)
+    assert out.shape == (6, H, W, 3)

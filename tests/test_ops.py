@@ -1,0 +1,153 @@
+"""Op-level parity tests against torch CPU oracles.
+
+torch here is a test oracle only (grid_sample / conv2d / pixel_shuffle /
+interpolate are the primitives the reference model is built on); the
+framework itself never imports torch.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from pnp_vcve_tpu.ops import (  # noqa: E402
+    flow_warp,
+    mix_expert_kernels,
+    dynamic_conv2d,
+    conv2d_nhwc,
+    pixel_shuffle,
+    bilinear_resize,
+)
+
+
+def torch_flow_warp(x_nchw, flow_nhwc2, interpolation="bilinear"):
+    """Reference-protocol warp: unnormalized flow + grid_sample a_c=True."""
+    n, c, h, w = x_nchw.shape
+    grid_y, grid_x = torch.meshgrid(
+        torch.arange(h, dtype=x_nchw.dtype),
+        torch.arange(w, dtype=x_nchw.dtype),
+        indexing="ij",
+    )
+    grid = torch.stack((grid_x, grid_y), 2)
+    gf = grid[None] + flow_nhwc2
+    gx = 2.0 * gf[..., 0] / max(w - 1, 1) - 1.0
+    gy = 2.0 * gf[..., 1] / max(h - 1, 1) - 1.0
+    return F.grid_sample(
+        x_nchw,
+        torch.stack((gx, gy), dim=3),
+        mode=interpolation,
+        padding_mode="zeros",
+        align_corners=True,
+    )
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.mark.parametrize("interp", ["bilinear", "nearest"])
+def test_flow_warp_matches_grid_sample(rng, interp):
+    n, h, w, c = 2, 12, 17, 5
+    x = rng.standard_normal((n, h, w, c)).astype(np.float32)
+    # flows large enough to push some samples out of bounds
+    flow = (rng.standard_normal((n, h, w, 2)) * 4.0).astype(np.float32)
+
+    ours = np.asarray(flow_warp(jnp.asarray(x), jnp.asarray(flow), interp))
+
+    x_t = torch.from_numpy(x).permute(0, 3, 1, 2)
+    expected = (
+        torch_flow_warp(x_t, torch.from_numpy(flow), interp)
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, expected, atol=2e-5, rtol=1e-5)
+
+
+def test_flow_warp_zero_flow_identity(rng):
+    x = rng.standard_normal((1, 8, 8, 3)).astype(np.float32)
+    out = np.asarray(flow_warp(jnp.asarray(x), jnp.zeros((1, 8, 8, 2))))
+    np.testing.assert_allclose(out, x, atol=1e-6)
+
+
+def test_dynamic_conv_matches_groups_batch_trick(rng):
+    """Our einsum-mix + shifted-matmul == the reference cuDNN groups=batch trick."""
+    b, h, w, cin, cout, K = 3, 10, 12, 8, 8, 6
+    x = rng.standard_normal((b, h, w, cin)).astype(np.float32)
+    bank_oihw = rng.standard_normal((K, cout, cin, 3, 3)).astype(np.float32) * 0.1
+    bias_bank = rng.standard_normal((K, cout)).astype(np.float32) * 0.1
+    weights = rng.standard_normal((b, K)).astype(np.float32)
+    gamma = rng.random((b, cout)).astype(np.float32)
+
+    # torch oracle: the exact groups=batch formulation of the reference
+    # (sr_backbone_utils.py:166-209)
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2).reshape(1, -1, h, w)
+    wt = torch.from_numpy(weights)
+    bank_t = torch.from_numpy(bank_oihw).reshape(K, -1)
+    agg_w = torch.mm(wt, bank_t).view(-1, cin, 3, 3)
+    agg_b = torch.mm(wt, torch.from_numpy(bias_bank)).view(-1)
+    out_t = F.conv2d(xt, agg_w, agg_b, padding=1, groups=b)
+    out_t = out_t.view(b, cout, h, w)
+    out_t = out_t * torch.from_numpy(gamma)[:, :, None, None]
+    expected = out_t.permute(0, 2, 3, 1).numpy()
+
+    # ours: bank in (K, kh, kw, cin, cout)
+    bank_hwio = jnp.asarray(bank_oihw.transpose(0, 3, 4, 2, 1))
+    kernels, biases = mix_expert_kernels(
+        jnp.asarray(weights), bank_hwio, jnp.asarray(bias_bank)
+    )
+    ours = np.asarray(
+        dynamic_conv2d(jnp.asarray(x), kernels, biases, gamma=jnp.asarray(gamma))
+    )
+    np.testing.assert_allclose(ours, expected, atol=3e-5, rtol=1e-4)
+
+
+def test_conv2d_nhwc_matches_torch(rng):
+    b, h, w, cin, cout = 2, 9, 11, 4, 7
+    x = rng.standard_normal((b, h, w, cin)).astype(np.float32)
+    k_oihw = rng.standard_normal((cout, cin, 3, 3)).astype(np.float32)
+    bias = rng.standard_normal((cout,)).astype(np.float32)
+    expected = (
+        F.conv2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            torch.from_numpy(k_oihw),
+            torch.from_numpy(bias),
+            padding=1,
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    k_hwio = jnp.asarray(k_oihw.transpose(2, 3, 1, 0))
+    ours = np.asarray(conv2d_nhwc(jnp.asarray(x), k_hwio, jnp.asarray(bias)))
+    np.testing.assert_allclose(ours, expected, atol=3e-5, rtol=1e-4)
+
+
+def test_pixel_shuffle_matches_torch(rng):
+    n, h, w, r, cout = 2, 5, 6, 2, 3
+    x = rng.standard_normal((n, h, w, cout * r * r)).astype(np.float32)
+    expected = (
+        F.pixel_shuffle(torch.from_numpy(x).permute(0, 3, 1, 2), r)
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    ours = np.asarray(pixel_shuffle(jnp.asarray(x), r))
+    np.testing.assert_allclose(ours, expected, atol=1e-6)
+
+
+def test_bilinear_resize_matches_torch(rng):
+    n, h, w, c = 1, 7, 9, 3
+    x = rng.standard_normal((n, h, w, c)).astype(np.float32)
+    expected = (
+        F.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            scale_factor=4,
+            mode="bilinear",
+            align_corners=False,
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    ours = np.asarray(bilinear_resize(jnp.asarray(x), 4))
+    np.testing.assert_allclose(ours, expected, atol=2e-5, rtol=1e-5)

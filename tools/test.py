@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Evaluation entrypoint (CLI contract of reference tools/test.py:18-61).
+
+The plug-and-play switch is ``--testdir_lr/--testdir_gt``: the same
+checkpoint is pointed at different compressed folders (README.md:78-106).
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Test a PnP-VCVE model (TPU)")
+    p.add_argument("config", help="test config file path")
+    p.add_argument("checkpoint", help="checkpoint dir (orbax) or '-' for random init")
+    p.add_argument("--testdir_lr", type=str, default=None, help="override lq folder")
+    p.add_argument("--testdir_gt", type=str, default=None, help="override gt folder")
+    p.add_argument("--save-path", default=None, help="path to store enhanced frames")
+    p.add_argument("--save-image", action="store_true", help="save enhanced frames")
+    p.add_argument("--chunk-t", type=int, default=None, help="split clips into windows of N frames")
+    p.add_argument("--out", default=None, help="output result pickle")
+    p.add_argument("--cfg-options", nargs="+", default=[])
+    # cascade mode (reference tools/test.py:121-134): enhance, then feed a
+    # second VSR model. Stub until the VSR zoo lands.
+    p.add_argument("--cascade", action="store_true")
+    p.add_argument("--cascade_ckpt", default=None)
+    p.add_argument("--launcher", default="none")
+    p.add_argument("--local_rank", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    from pnp_vcve_tpu.core.config import Config
+    from pnp_vcve_tpu.core.builder import build_dataset, build_restorer
+    from pnp_vcve_tpu.core.checkpoint import load_params
+    from pnp_vcve_tpu.train.eval import evaluate_dataset
+
+    if args.cascade:
+        raise NotImplementedError("--cascade requires the VSR model zoo (planned)")
+
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_options(dict(kv.split("=", 1) for kv in args.cfg_options))
+    test_cfg = dict(cfg.data["test"])
+    if args.testdir_lr:
+        test_cfg["lq_folder"] = args.testdir_lr
+    if args.testdir_gt:
+        test_cfg["gt_folder"] = args.testdir_gt
+
+    restorer = build_restorer(cfg.model, cfg.get("test_cfg"))
+    dataset = build_dataset(test_cfg)
+
+    import jax.numpy as jnp
+
+    t = min(4, dataset.num_input_frames)
+    dummy = dict(
+        lrs=jnp.zeros((1, t, 64, 64, 3)),
+        qps=jnp.zeros((1, t)),
+        slices=jnp.full((1, t), 73.0),
+        mvs=jnp.zeros((1, t, 64, 64, 4)),
+        base_qps=jnp.zeros((1, t)),
+        par_map=jnp.zeros((1, t, 64, 64, 3)),
+    )
+    params = restorer.generator.init(jax.random.PRNGKey(0), **dummy)["params"]
+    if args.checkpoint != "-":
+        params = load_params(args.checkpoint, template=jax.device_get(params))
+
+    metrics = evaluate_dataset(
+        restorer,
+        params,
+        dataset,
+        save_path=args.save_path,
+        save_image=args.save_image,
+        chunk_t=args.chunk_t,
+    )
+    if metrics:
+        print(", ".join(f"{k}: {v:.4f}" for k, v in metrics.items()))
+    if args.out:
+        import pickle
+
+        with open(args.out, "wb") as f:
+            pickle.dump(metrics, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Training entrypoint (CLI contract of reference tools/train.py:21-72).
+
+Single-process JAX runtime: the GPUS argument of dist_train.sh maps to the
+local device mesh; multi-host runs call ``jax.distributed.initialize`` via
+--multihost (coordinator env vars), after which the same mesh spans hosts.
+"""
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a PnP-VCVE model (TPU)")
+    p.add_argument("config", help="train config file path")
+    p.add_argument("--work-dir", help="dir to save logs and checkpoints")
+    p.add_argument("--exp_name", type=str, default=None, help="experiment name")
+    p.add_argument("--resume-from", help="checkpoint dir to resume from")
+    p.add_argument("--load-from", dest="load_from", help="weights to init from")
+    p.add_argument("--seed", type=int, default=None, help="random seed")
+    p.add_argument(
+        "--deterministic", action="store_true",
+        help="accepted for CLI parity; JAX runs are deterministic by seed",
+    )
+    p.add_argument(
+        "--cfg-options", nargs="+", default=[],
+        help="override config entries: key.path=value",
+    )
+    p.add_argument("--total-iters", type=int, default=None, help="override total iters")
+    p.add_argument("--multihost", action="store_true", help="init jax.distributed")
+    # accepted for dist_train.sh contract compatibility
+    p.add_argument("--launcher", default="none")
+    p.add_argument("--local_rank", type=int, default=0)
+    p.add_argument("--autoscale-lr", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pnp_vcve_tpu.core.config import Config
+    from pnp_vcve_tpu.core.builder import (
+        build_optimizer,
+        build_restorer,
+        build_train_datasets,
+    )
+    from pnp_vcve_tpu.core.checkpoint import CheckpointManager
+    from pnp_vcve_tpu.data.loader import PrefetchLoader, WeightedMixture
+    from pnp_vcve_tpu.parallel.sharding import batch_sharding, make_mesh, replicated
+    from pnp_vcve_tpu.train import create_train_state, make_train_step
+    from pnp_vcve_tpu.train.loop import train_loop
+
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_options(dict(kv.split("=", 1) for kv in args.cfg_options))
+    if args.exp_name:
+        cfg.work_dir = os.path.join("./work_dirs", args.exp_name)
+    if args.work_dir:
+        cfg.work_dir = args.work_dir
+    total_iters = args.total_iters or cfg.total_iters
+    seed = args.seed if args.seed is not None else 0
+
+    mesh = make_mesh(sp=cfg.get("mesh", {}).get("sp", 1))
+    print(f"devices: {jax.devices()}  mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
+    restorer = build_restorer(cfg.model, cfg.get("test_cfg"))
+    model = restorer.generator
+
+    datasets = build_train_datasets(cfg.data["train"])
+    weights = cfg.data.get("train_dataloader", {}).get("weights", [1] * len(datasets))
+    mixture = (
+        WeightedMixture(datasets, weights) if len(datasets) > 1 else datasets[0]
+    )
+
+    samples_per_chip = cfg.data.get("train_dataloader", {}).get("samples_per_gpu", 5)
+    dp = mesh.devices.shape[0]
+    global_batch = samples_per_chip * dp
+
+    # init params from one dummy batch shaped like training data
+    d0 = datasets[0]
+    t_frames = d0.num_input_frames
+    patch = d0.gt_patch_size // d0.scale
+    dummy = dict(
+        lrs=jnp.zeros((1, t_frames, patch, patch, 3)),
+        qps=jnp.zeros((1, t_frames)),
+        slices=jnp.full((1, t_frames), 73.0),
+        mvs=jnp.zeros((1, t_frames, patch, patch, 4)),
+        base_qps=jnp.zeros((1, t_frames)),
+        par_map=jnp.zeros((1, t_frames, patch, patch, 3)),
+    )
+    params = model.init(jax.random.PRNGKey(seed), **dummy)["params"]
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    print(f"model params: {n_params / 1e6:.2f}M")
+
+    tx = build_optimizer(cfg.optimizers, cfg.get("lr_config"), total_iters)
+    state = create_train_state(params, tx)
+    state = jax.device_put(state, replicated(mesh))
+
+    ckpt = CheckpointManager(cfg.work_dir)
+    start_iter = 0
+    if args.resume_from:
+        restored = CheckpointManager(args.resume_from).restore(
+            template=jax.device_get(state.params)
+        )
+        if restored is not None:
+            state = state.replace(params=jax.device_put(restored, replicated(mesh)))
+            start_iter = CheckpointManager(args.resume_from).latest_step() or 0
+            print(f"resumed params at iter {start_iter}")
+
+    fix_iter = cfg.get("train_cfg", {}).get("fix_iter", 0) or 0
+    train_step = make_train_step(model, restorer.loss_fn(), fix_iter=fix_iter)
+
+    loader = PrefetchLoader(
+        mixture,
+        batch_size=global_batch,
+        seed=seed,
+        num_threads=cfg.data.get("workers_per_gpu", 6),
+        sharding=batch_sharding(mesh, ndim=1),
+        start_step=start_iter,
+    )
+
+    def remap(batch):
+        return {
+            "lq": batch["lq"],
+            "gt": batch["gt"],
+            "qps": batch["qps"],
+            "slices": batch["slices"],
+            "mvs": batch["mvs"],
+            "base_qps": batch["base_qps"],
+            "partitions": batch["partitions"],
+        }
+
+    class _Remapped:
+        def __iter__(self):
+            for b in loader:
+                yield remap(b)
+
+    log_int = cfg.get("log_config", {}).get("interval", 100)
+    ckpt_int = cfg.get("checkpoint_config", {}).get("interval", 2000)
+    train_loop(
+        state,
+        train_step,
+        _Remapped(),
+        total_iters=total_iters,
+        log_interval=log_int,
+        checkpoint_interval=ckpt_int,
+        ckpt_manager=ckpt,
+        start_iter=start_iter,
+    )
+    loader.stop()
+    ckpt.close()
+
+
+if __name__ == "__main__":
+    main()
