@@ -21,6 +21,10 @@ is recorded.
 import json
 import time
 
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from pnp_vcve_tpu.utils import apply_platform_override
+apply_platform_override()
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -18,6 +18,25 @@ def test_fromfile_flagship_config():
     assert len(cfg.data["train"]) == 3
 
 
+def test_ipb_config_variants():
+    cfg = Config.fromfile("configs/HR_davis_LR_128x128_IPB.py")
+    assert cfg.exp_name == "HR_davis_LR_128x128_IPB"
+    # inherited from base
+    assert cfg.total_iters == 300000
+    for ds in cfg.data["train"]:
+        for stage in ds["dataset"]["pipeline"]:
+            if stage["type"].startswith("LoadImageFromFileList_Mix"):
+                assert stage["replace_qp_withIPB"] is True
+
+    cfg_lr = Config.fromfile("configs/HR_davis_LR_128x128_IPB_LR_test.py")
+    assert "REDS_test_LR" in cfg_lr.data["test"]["lq_folder"]
+    base = Config.fromfile("configs/HR_davis_LR_128x128.py")
+    for ds in base.data["train"]:
+        for stage in ds["dataset"]["pipeline"]:
+            if stage["type"].startswith("LoadImageFromFileList_Mix"):
+                assert stage["replace_qp_withIPB"] is False
+
+
 def test_cfg_options_merge():
     cfg = Config.fromfile("configs/HR_davis_LR_128x128.py")
     cfg.merge_from_options(

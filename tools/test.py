@@ -11,6 +11,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from pnp_vcve_tpu.utils import apply_platform_override
+apply_platform_override()
+
 
 def parse_args():
     p = argparse.ArgumentParser(description="Test a PnP-VCVE model (TPU)")
