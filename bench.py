@@ -60,7 +60,9 @@ def main():
     if not on_tpu:  # CPU smoke fallback
         b, t, h, w = 1, 4, 128, 128
 
-    model = PnPVCVE(remat=False, feature_dtype=jnp.bfloat16)
+    model = PnPVCVE(
+        remat=False, feature_dtype=jnp.bfloat16, use_pallas_kernels=on_tpu
+    )
     inputs = make_inputs(b, t, h, w, dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), **inputs)
 

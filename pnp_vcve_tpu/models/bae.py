@@ -8,18 +8,18 @@ convs gated by the macroblock-partition one-hot channels (16x16 / 16x8 / 8x8).
 
 TPU-native formulation:
 
-- the MoE conv is einsum-mixed kernels + shifted batched matmuls
+- the MoE conv is einsum-mixed kernels + batched matmuls
   (:mod:`pnp_vcve_tpu.ops.dynamic_conv`), not a ``groups=batch`` grouped conv;
 - the three partition 1x1 convs run as ONE ``(cin -> 3*cout)`` matmul whose
-  result is contracted against the partition map — a single MXU op followed
-  by a VPU gate, instead of three separate convs
-  (reference computes them separately at sr_backbone_utils.py:310);
+  result is contracted against the partition map;
+- with ``use_pallas=True`` the whole block executes as one fused Pallas
+  kernel (:mod:`pnp_vcve_tpu.kernels.drt_packed`): pixel-pair packed MXU
+  layout, one HBM read + one write per block (numerically identical,
+  kernel-tested against this composition);
 - the sparse eval path of the reference (index_select matmuls,
   sr_backbone_utils.py:294-302) is intentionally NOT replicated: gather/
-  scatter sparsity loses to dense MXU work on TPU, and the dense path is
-  numerically identical (the reference's sparse path even divides by 255 —
-  a quirk that changes numerics; the shipped flagship config has
-  ``sparse_val=False``).
+  scatter sparsity loses to dense MXU work on TPU (the shipped flagship
+  config has ``sparse_val=False``).
 
 Layout: NHWC; partition map is ``(b, h, w, 3)``.
 """
@@ -46,21 +46,16 @@ from pnp_vcve_tpu.models.init import (
 __all__ = ["DRTBlock", "ResidualBlocksWithInputConvDynamicDRT"]
 
 
-class _DynamicConvSE(nn.Module):
-    """Expert-bank conv with optional SE gain (reference Dynamic_conv2d_se)."""
+class _ExpertBank(nn.Module):
+    """Parameter container for one expert-mixed conv (reference
+    Dynamic_conv2d_se weight/bias banks)."""
 
     channels: int
     num_experts: int
-    with_se: bool = True
     kernel_size: int = 3
 
     @nn.compact
-    def __call__(
-        self,
-        x: jnp.ndarray,
-        weights: jnp.ndarray,
-        gamma: Optional[jnp.ndarray],
-    ) -> jnp.ndarray:
+    def __call__(self):
         k = self.kernel_size
         bank = self.param(
             "bank",
@@ -70,10 +65,7 @@ class _DynamicConvSE(nn.Module):
         bias_bank = self.param(
             "bias_bank", nn.initializers.zeros, (self.num_experts, self.channels)
         )
-        kernels, biases = mix_expert_kernels(weights, bank, bias_bank)
-        return dynamic_conv2d(
-            x, kernels, biases, gamma=gamma if self.with_se else None
-        )
+        return bank, bias_bank
 
 
 class DRTBlock(nn.Module):
@@ -92,6 +84,8 @@ class DRTBlock(nn.Module):
     one_layer: bool = True
     channel_first: bool = True
     res_scale: float = 1.0
+    use_pallas: bool = False
+    pallas_th: int = 8
 
     @nn.compact
     def __call__(
@@ -103,51 +97,65 @@ class DRTBlock(nn.Module):
     ) -> jnp.ndarray:
         c = self.mid_channels
 
-        # partition side path: one (c -> 3c) matmul, gated by the partition map
-        par_kernel = self.param(
-            "par_kernel", scaled_kaiming_normal(0.1), (c, 3, c)
-        )
-
-        def partition_path(feat: jnp.ndarray) -> jnp.ndarray:
-            y = jnp.einsum(
-                "bhwi,iro->bhwro", feat, par_kernel,
-                preferred_element_type=jnp.float32,
-            )
-            return jnp.einsum(
-                "bhwro,bhwr->bhwo", y, par.astype(jnp.float32),
-            ).astype(feat.dtype)
-
-        dyn = _DynamicConvSE(
-            channels=c, num_experts=self.num_experts, with_se=self.with_se,
-            name="conv2",
-        )
+        par_kernel = self.param("par_kernel", scaled_kaiming_normal(0.1), (c, 3, c))
+        bank, bias_bank = _ExpertBank(
+            channels=c, num_experts=self.num_experts, name="conv2"
+        )()
+        dyn_kernels, dyn_biases = mix_expert_kernels(weights, bank, bias_bank)
+        se_gamma = gamma if self.with_se else None
 
         if self.one_layer:
             conv1_kernel = self.param(
                 "conv1_kernel", scaled_kaiming_normal(0.1), (3, 3, c, c)
             )
             conv1_bias = self.param("conv1_bias", nn.initializers.zeros, (c,))
-
-            def conv1(feat, _w, _g):
-                return conv2d_nhwc(feat, conv1_kernel, conv1_bias)
-
         else:
-            conv1_dyn = _DynamicConvSE(
-                channels=c, num_experts=self.num_experts, with_se=self.with_se,
-                name="conv1",
+            c1_bank, c1_bias_bank = _ExpertBank(
+                channels=c, num_experts=self.num_experts, name="conv1"
+            )()
+
+        if (
+            self.use_pallas
+            and self.one_layer
+            and self.channel_first
+            and self.res_scale == 1.0
+            and x.shape[2] % 2 == 0
+            and x.shape[1] % self.pallas_th == 0
+        ):
+            from pnp_vcve_tpu.kernels.drt_packed import drt_block_packed
+
+            g = se_gamma if se_gamma is not None else jnp.ones((x.shape[0], c), x.dtype)
+            return drt_block_packed(
+                x, par, dyn_kernels, dyn_biases, par_kernel,
+                conv1_kernel, conv1_bias, g, th=self.pallas_th,
             )
 
-            def conv1(feat, w, g):
-                return conv1_dyn(feat, w, g)
+        def partition_path(feat: jnp.ndarray) -> jnp.ndarray:
+            y = jnp.einsum(
+                "bhwi,iro->bhwro", feat, par_kernel.astype(feat.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return jnp.einsum(
+                "bhwro,bhwr->bhwo", y, par.astype(jnp.float32),
+            ).astype(feat.dtype)
+
+        def dyn(feat):
+            return dynamic_conv2d(feat, dyn_kernels, dyn_biases, gamma=se_gamma)
+
+        def conv1(feat):
+            if self.one_layer:
+                return conv2d_nhwc(feat, conv1_kernel, conv1_bias)
+            k1, b1 = mix_expert_kernels(weights, c1_bank, c1_bias_bank)
+            return dynamic_conv2d(feat, k1, b1, gamma=se_gamma)
 
         if self.channel_first:
             dyres = partition_path(x)
-            out = nn.relu(dyn(x, weights, gamma) + dyres)
-            out = conv1(out, weights, gamma)
+            out = nn.relu(dyn(x) + dyres)
+            out = conv1(out)
         else:
-            out = nn.relu(conv1(x, weights, gamma))
+            out = nn.relu(conv1(x))
             dyres = partition_path(out)
-            out = dyn(out, weights, gamma) + dyres
+            out = dyn(out) + dyres
 
         return x + out * self.res_scale
 
@@ -163,6 +171,8 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
     with_se: bool = True
     one_layer: bool = True
     channel_first: bool = True
+    use_pallas: bool = False
+    pallas_th: int = 8
 
     @nn.compact
     def __call__(
@@ -190,6 +200,8 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
                 with_se=self.with_se,
                 one_layer=self.one_layer,
                 channel_first=self.channel_first,
+                use_pallas=self.use_pallas,
+                pallas_th=self.pallas_th,
                 name=f"block{i}",
             )(feat, par, weights, gamma)
         return feat

@@ -20,7 +20,9 @@ items, with a data-dependent ``torch.where`` nearest-keyframe lookup per
   ``(b, t, h, w, c)`` HBM ring carried through the scan and updated with
   ``dynamic_update_slice`` (in-place under XLA buffer donation).
 - The keyframe feature gather ``outputs[key_idx][batch]`` becomes a
-  ``take_along_axis`` over the carried buffer.
+  vmapped dynamic-slice over the carried buffer.
+- ``use_pallas_kernels=True`` routes every DRT block through the fused
+  pixel-pair-packed Pallas kernel (kernels/drt_packed.py).
 - Warping uses the bitstream flows directly (``ops.flow_warp``); slice codes
   73/'I' and 80/'P' mark keyframes, with the first/last frame forced
   (iconvsr_ipb_par.py:60-62).
@@ -48,6 +50,18 @@ from pnp_vcve_tpu.ops.warp import flow_warp
 from pnp_vcve_tpu.ops.upsample import pixel_shuffle, bilinear_resize
 
 __all__ = ["PnPVCVE", "keyframe_indices"]
+
+def _gather_time(buf, idx):
+    """Per-sample time-index gather from the (b, t, h, w, c) feature store.
+
+    vmapped dynamic-slice: lowers to a cheap dynamic-slice per sample
+    instead of an element-level gather (take_along_axis), which is
+    issue-rate-bound on TPU.
+    """
+    return jax.vmap(
+        lambda bbuf, bi: jax.lax.dynamic_index_in_dim(bbuf, bi, 0, keepdims=False)
+    )(buf, idx)
+
 
 I_SLICE = 73.0  # ord('I')
 P_SLICE = 80.0  # ord('P')
@@ -100,15 +114,14 @@ class _BackwardStep(nn.Module):
     with_cat: bool
     align_key: bool
     flow_interpolation: str
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, buf, xs):
         i, lr, flow, par, weights, gamma, key_idx = xs
         b, t = buf.shape[0], buf.shape[1]
 
-        key_feat = jnp.take_along_axis(
-            buf, key_idx[:, None, None, None, None], axis=1
-        )[:, 0]
+        key_feat = _gather_time(buf, key_idx)
         key_warp = flow_warp(key_feat, flow, self.flow_interpolation)
         nbr_i = jnp.minimum(i + 1, t - 1)
         neighbor = jax.lax.dynamic_index_in_dim(buf, nbr_i, axis=1, keepdims=False)
@@ -133,6 +146,7 @@ class _BackwardStep(nn.Module):
             with_se=self.with_se,
             one_layer=self.one_layer,
             channel_first=self.channel_first,
+            use_pallas=self.use_pallas,
             name="resblocks",
         )(feat, par, weights, gamma)
 
@@ -153,15 +167,14 @@ class _ForwardStep(nn.Module):
     align_key: bool
     flow_interpolation: str
     vsr: bool
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, buf, xs):
         i, lr, flow, par, weights, gamma, key_idx = xs
         b, t = buf.shape[0], buf.shape[1]
 
-        key_feat = jnp.take_along_axis(
-            buf, key_idx[:, None, None, None, None], axis=1
-        )[:, 0]
+        key_feat = _gather_time(buf, key_idx)
         key_warp = flow_warp(key_feat, flow, self.flow_interpolation)
         nbr_i = jnp.maximum(i - 1, 0)
         neighbor = jax.lax.dynamic_index_in_dim(buf, nbr_i, axis=1, keepdims=False)
@@ -187,6 +200,7 @@ class _ForwardStep(nn.Module):
             with_se=self.with_se,
             one_layer=self.one_layer,
             channel_first=self.channel_first,
+            use_pallas=self.use_pallas,
             name="resblocks",
         )(feat, par, weights, gamma)
 
@@ -236,6 +250,7 @@ class PnPVCVE(nn.Module):
     vsr: bool = False
     se_reduction: int = 16
     flow_interpolation: str = "bilinear"
+    use_pallas_kernels: bool = False
     remat: bool = True
     feature_dtype: jnp.dtype = jnp.float32
 
@@ -302,6 +317,7 @@ class PnPVCVE(nn.Module):
             with_cat=self.with_cat,
             align_key=self.align_key,
             flow_interpolation=self.flow_interpolation,
+            use_pallas=self.use_pallas_kernels,
         )
 
         scan_kwargs = dict(

@@ -76,18 +76,86 @@ def _warp_single(x: jnp.ndarray, flow: jnp.ndarray, interpolation: str) -> jnp.n
     return top * (one - wy)[..., None] + bot * wy[..., None]
 
 
+def _warp_single_blockgather(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear warp fetching all 4 corners in ONE gather of a (2,2,C) block.
+
+    TPU gathers are issue-rate-bound per gathered row, so fetching the full
+    2x2 bilinear neighborhood per output pixel (one 2*2*C slice) instead of
+    4 separate single-row gathers cuts the dominant cost ~4x. Out-of-range
+    starts are clamped into [0, h-2] x [0, w-2]; each corner is then read
+    from the block at its clamped offset and masked by its own validity
+    (zeros padding semantics).
+    """
+    h, w, c = x.shape
+    dtype = x.dtype
+
+    row = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    px = col + flow[..., 0].astype(jnp.float32)
+    py = row + flow[..., 1].astype(jnp.float32)
+
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    wx = (px - x0).astype(dtype)
+    wy = (py - y0).astype(dtype)
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+
+    y0c = jnp.clip(y0, 0, h - 2)
+    x0c = jnp.clip(x0, 0, w - 2)
+    starts = jnp.stack([y0c.reshape(-1), x0c.reshape(-1)], axis=-1)
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+    blocks = jax.lax.gather(
+        x, starts, dnums, slice_sizes=(2, 2, c),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    ).reshape(h, w, 2, 2, c)
+
+    one = jnp.asarray(1, dtype)
+    out = jnp.zeros((h, w, c), dtype)
+    b00 = blocks[:, :, 0, 0]
+    b01 = blocks[:, :, 0, 1]
+    b10 = blocks[:, :, 1, 0]
+    b11 = blocks[:, :, 1, 1]
+    for dy in range(2):
+        wrow = (one - wy) if dy == 0 else wy
+        yy = y0 + dy
+        # block-local offset: equals dy except at clamped image borders
+        oy = (jnp.clip(yy - y0c, 0, 1) == 1)[..., None]
+        for dx in range(2):
+            wcol = (one - wx) if dx == 0 else wx
+            xx = x0 + dx
+            ox = (jnp.clip(xx - x0c, 0, 1) == 1)[..., None]
+            valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+            row0 = jnp.where(ox, b01, b00)
+            row1 = jnp.where(ox, b11, b10)
+            v = jnp.where(oy, row1, row0)
+            out = out + jnp.where(valid[..., None], v * (wrow * wcol)[..., None], 0)
+    return out
+
+
 def flow_warp(
     x: jnp.ndarray,
     flow: jnp.ndarray,
     interpolation: str = "bilinear",
+    impl: str = "blockgather",
 ) -> jnp.ndarray:
     """Warp ``x`` (n,h,w,c) by pixel-space ``flow`` (n,h,w,2), zeros padding.
 
     Semantics match ``grid_sample(align_corners=True, padding_mode='zeros')``
     on unnormalized flows (reference flow_warp.py:6-50).
+
+    impl: 'blockgather' (default, one (2,2,C)-slice gather per pixel) or
+    'corner' (four single-row gathers; kept as the semantics baseline).
     """
     if x.shape[1:3] != flow.shape[1:3]:
         raise ValueError(
             f"Spatial sizes of input {x.shape[1:3]} and flow {flow.shape[1:3]} differ"
         )
+    if interpolation == "bilinear" and impl == "blockgather":
+        return jax.vmap(_warp_single_blockgather)(x, flow)
     return jax.vmap(_warp_single, in_axes=(0, 0, None))(x, flow, interpolation)

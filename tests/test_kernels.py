@@ -1,0 +1,178 @@
+"""Pallas kernel correctness tests (interpret mode on CPU) against the
+reference-parity jax ops."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pnp_vcve_tpu.ops.dynamic_conv import conv2d_nhwc, dynamic_conv2d
+
+
+B, H, W, C = 2, 32, 48, 8
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_conv3x3_pallas_matches_op(rng):
+    from pnp_vcve_tpu.kernels import conv3x3_pallas
+
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    kernels = jnp.asarray(
+        rng.standard_normal((B, 3, 3, C, C)).astype(np.float32) * 0.1
+    )
+    biases = jnp.asarray(rng.standard_normal((B, C)).astype(np.float32) * 0.1)
+
+    expected = dynamic_conv2d(x, kernels, biases)
+    got = conv3x3_pallas(x, kernels, biases, th=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5, rtol=1e-5)
+
+
+def test_conv3x3_pallas_shared_kernel(rng):
+    from pnp_vcve_tpu.kernels import conv3x3_pallas
+
+    x = jnp.asarray(rng.standard_normal((1, H, W, C)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, C, C)).astype(np.float32) * 0.1)
+    bias = jnp.zeros((C,))
+    expected = conv2d_nhwc(x, k, bias)
+    got = conv3x3_pallas(x, k[None], bias[None], th=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5, rtol=1e-5)
+
+
+def drt_reference(x, par, dyn_k, dyn_b, par_k, c1_k, c1_b, gamma):
+    """Reference composition from the parity-tested ops
+    (sr_backbone_utils.py:304-313 semantics)."""
+    y = jnp.einsum("bhwi,iro->bhwro", x, par_k, preferred_element_type=jnp.float32)
+    dyres = jnp.einsum("bhwro,bhwr->bhwo", y, par.astype(jnp.float32))
+    dyn = dynamic_conv2d(x, dyn_k, dyn_b, gamma=gamma).astype(jnp.float32)
+    hmid = jax.nn.relu(dyn + dyres).astype(x.dtype)
+    out = conv2d_nhwc(hmid, c1_k, c1_b)
+    return x + out
+
+
+def test_drt_block_pallas_matches_composition(rng):
+    from pnp_vcve_tpu.kernels import drt_block_pallas
+
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    par = jnp.asarray((rng.random((B, H, W, 3)) > 0.5).astype(np.float32) / 255.0)
+    dyn_k = jnp.asarray(rng.standard_normal((B, 3, 3, C, C)).astype(np.float32) * 0.1)
+    dyn_b = jnp.asarray(rng.standard_normal((B, C)).astype(np.float32) * 0.1)
+    par_k = jnp.asarray(rng.standard_normal((C, 3, C)).astype(np.float32) * 0.1)
+    c1_k = jnp.asarray(rng.standard_normal((3, 3, C, C)).astype(np.float32) * 0.1)
+    c1_b = jnp.asarray(rng.standard_normal((C,)).astype(np.float32) * 0.1)
+    gamma = jnp.asarray(rng.random((B, C)).astype(np.float32))
+
+    expected = drt_reference(x, par, dyn_k, dyn_b, par_k, c1_k, c1_b, gamma)
+    got = drt_block_pallas(x, par, dyn_k, dyn_b, par_k, c1_k, c1_b, gamma, th=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=3e-5, rtol=1e-4)
+
+
+def test_drt_block_pallas_band_boundaries(rng):
+    """Band edges must match exactly (halo recompute & masking)."""
+    from pnp_vcve_tpu.kernels import drt_block_pallas
+
+    x = jnp.asarray(rng.standard_normal((1, 24, 16, C)).astype(np.float32))
+    par = jnp.asarray(rng.random((1, 24, 16, 3)).astype(np.float32))
+    dyn_k = jnp.asarray(rng.standard_normal((1, 3, 3, C, C)).astype(np.float32) * 0.1)
+    dyn_b = jnp.zeros((1, C))
+    par_k = jnp.asarray(rng.standard_normal((C, 3, C)).astype(np.float32) * 0.1)
+    c1_k = jnp.asarray(rng.standard_normal((3, 3, C, C)).astype(np.float32) * 0.1)
+    c1_b = jnp.zeros((C,))
+    gamma = jnp.ones((1, C))
+
+    expected = drt_reference(x, par, dyn_k, dyn_b, par_k, c1_k, c1_b, gamma)
+    got = drt_block_pallas(x, par, dyn_k, dyn_b, par_k, c1_k, c1_b, gamma, th=8)
+    # check the rows at band boundaries (7, 8, 15, 16) specifically
+    np.testing.assert_allclose(
+        np.asarray(got)[:, 6:18], np.asarray(expected)[:, 6:18], atol=3e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=3e-5, rtol=1e-4)
+
+
+def test_conv3x3_packed_matches_op(rng):
+    from pnp_vcve_tpu.kernels.conv_packed import conv3x3_packed
+
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    kernels = jnp.asarray(
+        rng.standard_normal((B, 3, 3, C, C)).astype(np.float32) * 0.1
+    )
+    biases = jnp.asarray(rng.standard_normal((B, C)).astype(np.float32) * 0.1)
+    expected = dynamic_conv2d(x, kernels, biases)
+    got = conv3x3_packed(x, kernels, biases, th=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5, rtol=1e-5)
+
+
+def test_pack_conv3x3_kernel_unit(rng):
+    """Packed kernel reproduces both pixels of a pair on a tiny case."""
+    from pnp_vcve_tpu.kernels.packing import pack_conv3x3_kernel
+
+    c = 4
+    k = jnp.asarray(rng.standard_normal((3, 3, c, c)).astype(np.float32))
+    pk = pack_conv3x3_kernel(k)
+    assert pk.shape == (3, 6 * c, 2 * c)
+    # window rows = orig cols [2j-2 .. 2j+3]; random window, one dy slice
+    winvals = jnp.asarray(rng.standard_normal((6, c)).astype(np.float32))
+    got = winvals.reshape(-1) @ pk[1]
+    even = sum(winvals[dx + 1] @ k[1, dx] for dx in range(3))
+    odd = sum(winvals[dx + 2] @ k[1, dx] for dx in range(3))
+    np.testing.assert_allclose(np.asarray(got[:c]), np.asarray(even), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[c:]), np.asarray(odd), atol=1e-5)
+
+
+def test_conv3x3_packed_v2_matches_op(rng):
+    from pnp_vcve_tpu.kernels.conv_packed import conv3x3_packed_v2
+
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    kernels = jnp.asarray(
+        rng.standard_normal((B, 3, 3, C, C)).astype(np.float32) * 0.1
+    )
+    biases = jnp.asarray(rng.standard_normal((B, C)).astype(np.float32) * 0.1)
+    expected = dynamic_conv2d(x, kernels, biases)
+    got = conv3x3_packed_v2(x, kernels, biases, th=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5, rtol=1e-5)
+
+
+def test_drt_block_packed_matches_composition(rng):
+    from pnp_vcve_tpu.kernels.drt_packed import drt_block_packed
+
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    par = jnp.asarray((rng.random((B, H, W, 3)) > 0.5).astype(np.float32) / 255.0)
+    dyn_k = jnp.asarray(rng.standard_normal((B, 3, 3, C, C)).astype(np.float32) * 0.1)
+    dyn_b = jnp.asarray(rng.standard_normal((B, C)).astype(np.float32) * 0.1)
+    par_k = jnp.asarray(rng.standard_normal((C, 3, C)).astype(np.float32) * 0.1)
+    c1_k = jnp.asarray(rng.standard_normal((3, 3, C, C)).astype(np.float32) * 0.1)
+    c1_b = jnp.asarray(rng.standard_normal((C,)).astype(np.float32) * 0.1)
+    gamma = jnp.asarray(rng.random((B, C)).astype(np.float32))
+
+    expected = drt_reference(x, par, dyn_k, dyn_b, par_k, c1_k, c1_b, gamma)
+    got = drt_block_packed(x, par, dyn_k, dyn_b, par_k, c1_k, c1_b, gamma, th=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=3e-5, rtol=1e-4)
+
+
+def test_drt_block_packed_boundaries(rng):
+    """Band boundaries + image borders, odd-ish sizes."""
+    from pnp_vcve_tpu.kernels.drt_packed import drt_block_packed
+
+    x = jnp.asarray(rng.standard_normal((1, 24, 20, C)).astype(np.float32))
+    par = jnp.asarray(rng.random((1, 24, 20, 3)).astype(np.float32))
+    dyn_k = jnp.asarray(rng.standard_normal((1, 3, 3, C, C)).astype(np.float32) * 0.1)
+    dyn_b = jnp.zeros((1, C))
+    par_k = jnp.asarray(rng.standard_normal((C, 3, C)).astype(np.float32) * 0.1)
+    c1_k = jnp.asarray(rng.standard_normal((3, 3, C, C)).astype(np.float32) * 0.1)
+    c1_b = jnp.asarray(rng.standard_normal((C,)).astype(np.float32) * 0.1)
+    gamma = jnp.asarray(rng.random((1, C)).astype(np.float32))
+
+    expected = drt_reference(x, par, dyn_k, dyn_b, par_k, c1_k, c1_b, gamma)
+    got = drt_block_packed(x, par, dyn_k, dyn_b, par_k, c1_k, c1_b, gamma, th=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=3e-5, rtol=1e-4)

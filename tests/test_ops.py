@@ -151,3 +151,22 @@ def test_bilinear_resize_matches_torch(rng):
     )
     ours = np.asarray(bilinear_resize(jnp.asarray(x), 4))
     np.testing.assert_allclose(ours, expected, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["blockgather", "corner"])
+def test_flow_warp_impls_match_oracle(rng, impl):
+    n, h, w, c = 2, 10, 14, 4
+    x = rng.standard_normal((n, h, w, c)).astype(np.float32)
+    # include far out-of-bounds flows and exact-boundary hits
+    flow = (rng.standard_normal((n, h, w, 2)) * 10.0).astype(np.float32)
+    flow[0, 0, 0] = [100.0, 100.0]
+    flow[0, 1, 1] = [-50.0, 3.0]
+    flow[0, 2, 2] = [0.0, 0.0]
+    ours = np.asarray(flow_warp(jnp.asarray(x), jnp.asarray(flow), impl=impl))
+    x_t = torch.from_numpy(x).permute(0, 3, 1, 2)
+    expected = (
+        torch_flow_warp(x_t, torch.from_numpy(flow), "bilinear")
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, expected, atol=2e-5, rtol=1e-5)
