@@ -86,6 +86,25 @@ def _build_pnp_vcve(
     )
 
 
+@BACKBONES.register(name="STDFNet")
+def _build_stdf(**kwargs):
+    from pnp_vcve_tpu.models.baselines import STDFNet
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "in_channels", "out_channels", "radius", "nf_stdf", "nb_stdf",
+        "nf_stdf_out", "deform_ks", "nf_qe", "nb_qe")}
+    return STDFNet(**known)
+
+
+@BACKBONES.register(name="MFQEv2")
+def _build_mfqev2(**kwargs):
+    from pnp_vcve_tpu.models.baselines import MFQEv2
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "in_channels", "out_channels", "nf")}
+    return MFQEv2(**known)
+
+
 def build_generator(cfg: dict):
     return BACKBONES.build(cfg)
 

@@ -76,7 +76,9 @@ def _warp_single(x: jnp.ndarray, flow: jnp.ndarray, interpolation: str) -> jnp.n
     return top * (one - wy)[..., None] + bot * wy[..., None]
 
 
-def _warp_single_blockgather(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+def _warp_single_blockgather(
+    x: jnp.ndarray, flow: jnp.ndarray, border: bool = False
+) -> jnp.ndarray:
     """Bilinear warp fetching all 4 corners in ONE gather of a (2,2,C) block.
 
     TPU gathers are issue-rate-bound per gathered row, so fetching the full
@@ -117,6 +119,7 @@ def _warp_single_blockgather(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
 
     one = jnp.asarray(1, dtype)
     out = jnp.zeros((h, w, c), dtype)
+    always_valid = jnp.ones((h, w), bool)
     b00 = blocks[:, :, 0, 0]
     b01 = blocks[:, :, 0, 1]
     b10 = blocks[:, :, 1, 0]
@@ -130,7 +133,12 @@ def _warp_single_blockgather(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
             wcol = (one - wx) if dx == 0 else wx
             xx = x0 + dx
             ox = (jnp.clip(xx - x0c, 0, 1) == 1)[..., None]
-            valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+            if border:
+                # border padding: out-of-range taps read the edge pixel
+                # (corner clamping == coordinate clamping for bilinear)
+                valid = always_valid
+            else:
+                valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
             row0 = jnp.where(ox, b01, b00)
             row1 = jnp.where(ox, b11, b10)
             v = jnp.where(oy, row1, row0)
@@ -143,6 +151,7 @@ def flow_warp(
     flow: jnp.ndarray,
     interpolation: str = "bilinear",
     impl: str = "blockgather",
+    padding_mode: str = "zeros",
 ) -> jnp.ndarray:
     """Warp ``x`` (n,h,w,c) by pixel-space ``flow`` (n,h,w,2), zeros padding.
 
@@ -156,6 +165,26 @@ def flow_warp(
         raise ValueError(
             f"Spatial sizes of input {x.shape[1:3]} and flow {flow.shape[1:3]} differ"
         )
-    if interpolation == "bilinear" and impl == "blockgather":
-        return jax.vmap(_warp_single_blockgather)(x, flow)
+    h, w = x.shape[1:3]
+    if (
+        interpolation == "bilinear"
+        and impl == "blockgather"
+        and h >= 2
+        and w >= 2  # the (2,2,C) block gather needs a 2x2 neighborhood
+    ):
+        border = padding_mode == "border"
+        return jax.vmap(_warp_single_blockgather, in_axes=(0, 0, None))(
+            x, flow, border
+        )
+    if padding_mode == "border":
+        # tiny-image fallback for border mode: clamp flows so every sample
+        # lands inside; equivalent to border for bilinear
+        row = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)[None, ..., None]
+        col = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)[None, ..., None]
+        fx = jnp.clip(flow[..., 0:1] + col, 0, w - 1) - col
+        fy = jnp.clip(flow[..., 1:2] + row, 0, h - 1) - row
+        flow = jnp.concatenate([fx, fy], axis=-1).astype(flow.dtype)
+        padding_mode = "zeros"
+    if padding_mode != "zeros":
+        raise NotImplementedError(f"{padding_mode=} requires impl='blockgather'")
     return jax.vmap(_warp_single, in_axes=(0, 0, None))(x, flow, interpolation)
