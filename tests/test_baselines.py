@@ -102,3 +102,47 @@ def test_basic_alignment_zero_offsets_reduce_to_conv(rng):
     o1 = np.asarray(m.apply(params, feat, flow1))
     assert np.isfinite(o0).all() and np.isfinite(o1).all()
     assert np.abs(o0 - o1).max() > 1e-6
+
+
+def test_dcngan_generator_and_gan_step(rng):
+    import optax
+    from pnp_vcve_tpu.models.baselines.dcngan import DCNGANNet, DCNGANDiscriminator
+    from pnp_vcve_tpu.train import create_train_state
+    from pnp_vcve_tpu.train.gan import make_gan_train_step
+
+    gen = DCNGANNet(nf_fa=4, nb_fa=2)
+    disc = DCNGANDiscriminator(d=8)
+    # >=64px: the discriminator's final 4x4 VALID conv needs a 4x4 input
+    lrs = jnp.asarray(rng.random((1, 3, 64, 64, 3), np.float32))
+    base_qps = jnp.zeros((1, 3))
+    gt = jnp.asarray(rng.random((1, 64, 64, 3), np.float32))
+
+    g_params = gen.init(jax.random.PRNGKey(0), lrs, base_qps=base_qps)["params"]
+    out = gen.apply({"params": g_params}, lrs, base_qps=base_qps)
+    assert out.shape == (1, 64, 64, 3)
+    assert np.abs(np.asarray(out)).max() <= 1.0  # tanh head
+
+    d_params = disc.init(jax.random.PRNGKey(1), gt)["params"]
+    d_out = disc.apply({"params": d_params}, gt)
+    assert d_out["prediction"].shape[0] == 1
+    assert len(d_out["feature_maps"]) == 4
+
+    g_state = create_train_state(g_params, optax.adam(1e-4))
+    d_state = create_train_state(d_params, optax.adam(1e-4))
+    step = make_gan_train_step(gen, disc, fm_weight=0.1, donate=False)
+    batch = {"lq": lrs, "gt": gt, "base_qps": base_qps}
+    g2, d2, metrics = step(g_state, d_state, batch)
+    assert np.isfinite(float(metrics["loss_g"]))
+    assert np.isfinite(float(metrics["loss_d"]))
+    # both networks actually updated
+    changed_g = any(
+        float(jnp.max(jnp.abs(a - b))) > 0
+        for a, b in zip(jax.tree_util.tree_leaves(g_state.params),
+                        jax.tree_util.tree_leaves(g2.params))
+    )
+    changed_d = any(
+        float(jnp.max(jnp.abs(a - b))) > 0
+        for a, b in zip(jax.tree_util.tree_leaves(d_state.params),
+                        jax.tree_util.tree_leaves(d2.params))
+    )
+    assert changed_g and changed_d

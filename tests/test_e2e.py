@@ -189,3 +189,42 @@ def test_eval_chunked_matches_shape(dataset_root):
     step = make_eval_step(model)
     out = enhance_clip(step, params, sample, chunk_t=3)
     assert out.shape == (6, H, W, 3)
+
+
+def test_ldp_triple_dataset(dataset_root):
+    from pnp_vcve_tpu.data.datasets import ClipIndex
+    from pnp_vcve_tpu.data.ldp import LDPTripleDataset, find_left_right_pqf
+
+    # slice pattern from the fixture: I P B P B P (i even -> B for i>0 odd=P)
+    # fixture: i==0 I; odd P; even>0 B
+    def slice_of(i):
+        return "I" if i == 0 else ("P" if i % 2 else "B")
+
+    left, right = find_left_right_pqf(slice_of, 2, T_FRAMES)
+    assert (left, right) == (1, 3)
+    left, right = find_left_right_pqf(slice_of, 4, T_FRAMES)
+    assert (left, right) == (3, 5)
+    # uncompressed: adjacent frames
+    assert find_left_right_pqf(slice_of, 0, T_FRAMES, compressed=False) == (0, 1)
+
+    ds = LDPTripleDataset(
+        lq_folder=str(dataset_root / "crf15" / "png"),
+        gt_folder=str(dataset_root / "sharp" / "png"),
+        cprs15_folder=str(dataset_root / "crf15" / "png"),
+        cprs25_folder=str(dataset_root / "crf25" / "png"),
+        cprs35_folder=str(dataset_root / "crf35" / "png"),
+        qp_slice_file=str(dataset_root / "qp.json"),
+        clips=[ClipIndex("000", T_FRAMES), ClipIndex("001", T_FRAMES)],
+        centers="nonpqf",
+        gt_patch_size=16,
+    )
+    s = ds.sample(np.random.default_rng(3))
+    assert s["lq"].shape == (3, 16, 16, 3)
+    assert s["gt"].shape == (1, 16, 16, 3)
+    assert 0 <= s["lq"].min() and s["lq"].max() <= 1
+
+    # test iteration covers every non-PQF center
+    items = list(ds.iter_test(crf=15))
+    # fixture: frames 2 and 4 are B in each of 2 clips
+    assert len(items) == 4
+    assert items[0]["lq"].shape[0] == 3
