@@ -105,6 +105,25 @@ def _build_mfqev2(**kwargs):
     return MFQEv2(**known)
 
 
+@BACKBONES.register(name="BasicVSRPlusPlusPQF", aliases=("BasicVSRPlusPlus_PQF",))
+def _build_bvpp_pqf(**kwargs):
+    from pnp_vcve_tpu.models.baselines.basicvsr_pp import BasicVSRPlusPlusPQF
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "mid_channels", "num_blocks", "max_residue_magnitude",
+        "is_low_res_input", "deform_groups")}
+    return BasicVSRPlusPlusPQF(**known)
+
+
+@BACKBONES.register(name="DCNGANNet", aliases=("DCNGAN_Net",))
+def _build_dcngan(**kwargs):
+    from pnp_vcve_tpu.models.baselines.dcngan import DCNGANNet
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "in_channels", "radius", "nf_fa", "nb_fa")}
+    return DCNGANNet(**known)
+
+
 def build_generator(cfg: dict):
     return BACKBONES.build(cfg)
 

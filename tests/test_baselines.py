@@ -146,3 +146,37 @@ def test_dcngan_generator_and_gan_step(rng):
                         jax.tree_util.tree_leaves(d2.params))
     )
     assert changed_g and changed_d
+
+
+@pytest.mark.parametrize("low_res", [True, False])
+def test_basicvsr_pp_pqf_shapes(rng, low_res):
+    from pnp_vcve_tpu.models.baselines.basicvsr_pp import BasicVSRPlusPlusPQF
+
+    model = BasicVSRPlusPlusPQF(
+        mid_channels=8, num_blocks=1, deform_groups=2, is_low_res_input=low_res
+    )
+    b, t, h, w = 1, 4, 64, 64
+    lrs = jnp.asarray(rng.random((b, t, h, w, 3), np.float32))
+    slices = jnp.asarray(np.array([[73, 66, 80, 66]], np.float32))
+    params = model.init(jax.random.PRNGKey(0), lrs, slices=slices)
+    out = model.apply(params, lrs, slices=slices)
+    expected_hw = (4 * h, 4 * w) if low_res else (h, w)
+    assert out.shape == (b, t, *expected_hw, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_basicvsr_pp_pqf_chain_carry(rng):
+    """The PQF second-order branch must engage: outputs differ when slice
+    types change (same weights, same pixels)."""
+    from pnp_vcve_tpu.models.baselines.basicvsr_pp import BasicVSRPlusPlusPQF
+
+    model = BasicVSRPlusPlusPQF(
+        mid_channels=8, num_blocks=1, deform_groups=2, is_low_res_input=True
+    )
+    lrs = jnp.asarray(rng.random((1, 5, 64, 64, 3), np.float32))
+    s_all_pqf = jnp.full((1, 5), 80.0)
+    s_sparse = jnp.asarray(np.array([[73, 66, 66, 66, 80]], np.float32))
+    params = model.init(jax.random.PRNGKey(0), lrs, slices=s_all_pqf)
+    o1 = np.asarray(model.apply(params, lrs, slices=s_all_pqf))
+    o2 = np.asarray(model.apply(params, lrs, slices=s_sparse))
+    assert np.abs(o1 - o2).max() > 1e-7
