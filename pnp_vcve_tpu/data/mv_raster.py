@@ -132,12 +132,18 @@ def rasterize_clip(
     Returns:
       (mvs (t,h,w,4) float32, partitions (t,h,w,3) float32 or None)
     """
+    from pnp_vcve_tpu.native import native_rasterizer, rasterize_frame_native
+
+    raster = (
+        rasterize_frame_native if native_rasterizer() is not None
+        else rasterize_frame_mvs
+    )
     mvs: list[np.ndarray] = []
     partitions: list[np.ndarray] = []
     p_offset = 0
     for records, st in zip(records_per_frame, slice_types):
         is_b = st == "B"
-        mv, par = rasterize_frame_mvs(
+        mv, par = raster(
             records, height, width, is_b, mvs, p_offset,
             load_partition=load_partition, drconv=drconv,
         )

@@ -126,3 +126,42 @@ def test_qp_slice_lookup(tmp_path):
     lut_ipb = QpSliceLookup(p, replace_qp_with_ipb=True)
     assert lut_ipb(15, "000", 1) == (float(ord("B")), "B")
     assert lut_ipb(0, "000", 0) == (float(ord("I")), "I")
+
+
+def test_native_rasterizer_matches_numpy():
+    """The C rasterizer must be bit-identical to the numpy reference on
+    randomized clips (including P-frame reversal and overwrite order)."""
+    import pytest
+    from pnp_vcve_tpu.native import native_rasterizer, rasterize_frame_native
+    from pnp_vcve_tpu.data.mv_raster import rasterize_frame_mvs
+
+    if native_rasterizer() is None:
+        pytest.skip("no C compiler available")
+
+    rng = np.random.default_rng(9)
+    h = w = 64
+    slice_types = ["I", "P", "B", "B", "P", "B", "P"]
+    mvs_np, mvs_c = [], []
+    p_offset = 0
+    for st in slice_types:
+        n = int(rng.integers(0, 30))
+        recs = np.zeros((n, 10), np.float32)
+        for k in range(n):
+            bw, bh = rng.choice([8, 16]), rng.choice([8, 16])
+            if bw == 8 and bh == 16:
+                bw = 16  # keep areas in {256,128,64}: 16x16,16x8,8x8
+            x = int(rng.integers(0, w // 8)) * 8 + bw // 2
+            y = int(rng.integers(0, h // 8)) * 8 + bh // 2
+            xw = int(rng.integers(0, w // 8)) * 8 + bw // 2
+            yw = int(rng.integers(0, h // 8)) * 8 + bh // 2
+            direction = -1 if (st == "I" or rng.random() < 0.5) else 1
+            recs[k] = [direction, bw, bh, xw, yw, x, y,
+                       float(rng.integers(-32, 32)), float(rng.integers(-32, 32)), 4.0]
+        is_b = st == "B"
+        a = rasterize_frame_mvs(recs, h, w, is_b, mvs_np, p_offset)
+        b = rasterize_frame_native(recs, h, w, is_b, mvs_c, p_offset)
+        mvs_np.append(a[0]); mvs_c.append(b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+        p_offset = p_offset + 1 if is_b else 1
+    for a, b in zip(mvs_np, mvs_c):
+        np.testing.assert_array_equal(a, b)
