@@ -29,7 +29,7 @@ from pnp_vcve_tpu.metrics import tensor2img
 from pnp_vcve_tpu.models.restorer import Restorer, average_clip_metrics
 from pnp_vcve_tpu.train.train_step import make_eval_step
 
-__all__ = ["evaluate_dataset", "enhance_clip"]
+__all__ = ["evaluate_dataset", "enhance_clip", "enhance_clip_frame_parallel"]
 
 
 def _save_frames(frames_u8: np.ndarray, clip_name: str, save_path: str):
@@ -86,3 +86,70 @@ def evaluate_dataset(
     if verbose and agg:
         print("[eval] dataset mean: " + " ".join(f"{k}={v:.4f}" for k, v in agg.items()))
     return agg
+
+
+def enhance_clip_frame_parallel(
+    eval_step,
+    params,
+    sample: dict,
+    mesh,
+    chunk_t: int,
+    halo_t: int = 2,
+):
+    """Frame-parallel clip enhancement across a device mesh.
+
+    The bidirectional recurrence is sequential in time, so exact multi-chip
+    scaling of ONE clip is a pipeline with no single-clip speedup. Instead
+    the clip is split into overlapped windows (each window = chunk + halo_t
+    context frames on each side, first/last window frames acting as forced
+    keyframes exactly like any clip boundary), the windows are batched and
+    sharded over the mesh's dp axis, and each device runs the full two-sweep
+    propagation on its window; the halo frames are dropped on stitch.
+
+    This generalizes chunked eval (halo_t=0 == ``enhance_clip(chunk_t=...)``)
+    with approximation error that decays in halo_t; it has no reference
+    counterpart (the reference runs 100-frame clips sequentially on one GPU,
+    SURVEY §5.7).
+    """
+    from pnp_vcve_tpu.parallel.sharding import batch_sharding
+
+    keys = ("lq", "qps", "slices", "mvs", "base_qps", "partitions")
+    t = sample["lq"].shape[0]
+    n_dev = mesh.devices.size
+
+    starts = list(range(0, t, chunk_t))
+    windows = []
+    spans = []
+    for s in starts:
+        e = min(s + chunk_t, t)
+        ws = max(0, s - halo_t)
+        we = min(t, e + halo_t)
+        windows.append((ws, we))
+        spans.append((s - ws, e - ws))
+
+    # pad the window list to a multiple of the device count and pad every
+    # window to a common length (repeat-edge padding on the time axis)
+    wlen = max(we - ws for ws, we in windows)
+    while len(windows) % n_dev:
+        windows.append(windows[-1])
+        spans.append((0, 0))  # contributes nothing
+
+    batch = {}
+    for k in keys:
+        arrs = []
+        for ws, we in windows:
+            a = np.asarray(sample[k][ws:we])
+            if a.shape[0] < wlen:  # repeat-edge pad
+                pad = [(0, wlen - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+                a = np.pad(a, pad, mode="edge")
+            arrs.append(a)
+        batch[k] = jax.device_put(
+            np.stack(arrs), batch_sharding(mesh, ndim=np.stack(arrs).ndim)
+        )
+
+    out = np.asarray(jax.device_get(eval_step(params, batch)))
+    pieces = []
+    for i, (s0, e0) in enumerate(spans):
+        if e0 > s0:
+            pieces.append(out[i, s0:e0])
+    return np.concatenate(pieces, axis=0)
