@@ -124,6 +124,14 @@ def _build_dcngan(**kwargs):
     return DCNGANNet(**known)
 
 
+@BACKBONES.register(name="SIDECVSR")
+def _build_sidecvsr(**kwargs):
+    from pnp_vcve_tpu.models.baselines.sidecvsr import SIDECVSR
+
+    known = {k: v for k, v in kwargs.items() if k in ("nf", "nframes", "scg_n")}
+    return SIDECVSR(**known)
+
+
 def build_generator(cfg: dict):
     return BACKBONES.build(cfg)
 

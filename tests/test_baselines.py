@@ -180,3 +180,31 @@ def test_basicvsr_pp_pqf_chain_carry(rng):
     o1 = np.asarray(model.apply(params, lrs, slices=s_all_pqf))
     o2 = np.asarray(model.apply(params, lrs, slices=s_sparse))
     assert np.abs(o1 - o2).max() > 1e-7
+
+
+def test_sidecvsr_shapes_and_incremental(rng):
+    from pnp_vcve_tpu.models.baselines.sidecvsr import SIDECVSR
+
+    model = SIDECVSR(nf=16, nframes=7, scg_n=1)
+    b, n, h, w = 1, 7, 16, 16
+    x = jnp.asarray(rng.random((b, n, h, w, 1), np.float32))
+    mvs = jnp.asarray(rng.standard_normal((b, n, h, w, 2)).astype(np.float32) * 0.1)
+    pms = jnp.asarray(rng.random((b, n, h, w, 1), np.float32))
+    rms = jnp.asarray(rng.random((b, n, h, w, 1), np.float32))
+    ufs = jnp.asarray(rng.random((b, n, h, w, 1), np.float32))
+    params = model.init(jax.random.PRNGKey(0), x, mvs, pms, rms, ufs)
+    out, l1 = model.apply(params, x, mvs, pms, rms, ufs)
+    assert out.shape == (b, 4 * h, 4 * w, 1)
+    assert l1.shape == (b, n, h, w, 16)
+
+    # incremental path: shift window by 1 and reuse the cached features;
+    # must equal recomputing from scratch on the shifted window
+    x2 = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+    pm2 = jnp.concatenate([pms[:, 1:], pms[:, -1:]], axis=1)
+    rm2 = jnp.concatenate([rms[:, 1:], rms[:, -1:]], axis=1)
+    uf2 = jnp.concatenate([ufs[:, 1:], ufs[:, -1:]], axis=1)
+    out_inc, _ = model.apply(params, x2, mvs, pm2, rm2, uf2, pre_l1_fea=l1)
+    out_full, _ = model.apply(params, x2, mvs, pm2, rm2, uf2)
+    np.testing.assert_allclose(
+        np.asarray(out_inc), np.asarray(out_full), atol=1e-5, rtol=1e-5
+    )
