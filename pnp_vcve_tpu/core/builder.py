@@ -132,6 +132,14 @@ def _build_sidecvsr(**kwargs):
     return SIDECVSR(**known)
 
 
+@BACKBONES.register(name="BasicVSRNet")
+def _build_basicvsr_net(**kwargs):
+    from pnp_vcve_tpu.models.baselines.basicvsr import BasicVSRNet
+
+    known = {k: v for k, v in kwargs.items() if k in ("mid_channels", "num_blocks")}
+    return BasicVSRNet(**known)
+
+
 def build_generator(cfg: dict):
     return BACKBONES.build(cfg)
 

@@ -65,12 +65,19 @@ def evaluate_dataset(
     save_image: bool = False,
     chunk_t: Optional[int] = None,
     verbose: bool = True,
+    cascade=None,
 ) -> Dict[str, float]:
+    """``cascade``: optional (step_fn, params, restorer) triple — enhanced
+    frames are fed plug-and-play to a downstream VSR model and the metrics
+    are computed on ITS output (reference tools/test.py:121-134)."""
     eval_step = make_eval_step(restorer.generator)
     per_clip = []
     for sample in dataset:
         t0 = time.perf_counter()
         out = enhance_clip(eval_step, params, sample, chunk_t=chunk_t)
+        if cascade is not None:
+            casc_step, casc_params, _ = cascade
+            out = np.asarray(jax.device_get(casc_step(casc_params, out[None]))[0])
         dt = time.perf_counter() - t0
         clip_name = sample.get("clip_name", f"clip{len(per_clip):03d}")
         metrics = restorer.evaluate_clip(out, sample["gt"])

@@ -208,3 +208,14 @@ def test_sidecvsr_shapes_and_incremental(rng):
     np.testing.assert_allclose(
         np.asarray(out_inc), np.asarray(out_full), atol=1e-5, rtol=1e-5
     )
+
+
+def test_basicvsr_net_shapes(rng):
+    from pnp_vcve_tpu.models.baselines.basicvsr import BasicVSRNet
+
+    model = BasicVSRNet(mid_channels=16, num_blocks=1)
+    lrs = jnp.asarray(rng.random((1, 3, 64, 64, 3), np.float32))
+    params = model.init(jax.random.PRNGKey(0), lrs)
+    out = model.apply(params, lrs)
+    assert out.shape == (1, 3, 256, 256, 3)
+    assert np.isfinite(np.asarray(out)).all()

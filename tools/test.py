@@ -26,9 +26,10 @@ def parse_args():
     p.add_argument("--chunk-t", type=int, default=None, help="split clips into windows of N frames")
     p.add_argument("--out", default=None, help="output result pickle")
     p.add_argument("--cfg-options", nargs="+", default=[])
-    # cascade mode (reference tools/test.py:121-134): enhance, then feed a
-    # second VSR model. Stub until the VSR zoo lands.
+    # cascade mode (reference tools/test.py:121-134): enhance, then feed the
+    # enhanced frames to a second (VSR) model
     p.add_argument("--cascade", action="store_true")
+    p.add_argument("--cascade_config", default=None, help="config of the downstream VSR model")
     p.add_argument("--cascade_ckpt", default=None)
     p.add_argument("--launcher", default="none")
     p.add_argument("--local_rank", type=int, default=0)
@@ -43,9 +44,6 @@ def main():
     from pnp_vcve_tpu.core.builder import build_dataset, build_restorer
     from pnp_vcve_tpu.core.checkpoint import load_params
     from pnp_vcve_tpu.train.eval import evaluate_dataset
-
-    if args.cascade:
-        raise NotImplementedError("--cascade requires the VSR model zoo (planned)")
 
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
@@ -74,6 +72,25 @@ def main():
     if args.checkpoint != "-":
         params = load_params(args.checkpoint, template=jax.device_get(params))
 
+    cascade = None
+    if args.cascade:
+        from pnp_vcve_tpu.train.train_step import make_eval_step
+
+        casc_cfg = Config.fromfile(args.cascade_config or args.config)
+        casc_restorer = build_restorer(casc_cfg.model, casc_cfg.get("test_cfg"))
+        tc = min(4, dataset.num_input_frames)
+        casc_params = casc_restorer.generator.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, tc, 64, 64, 3))
+        )["params"]
+        if args.cascade_ckpt:
+            from pnp_vcve_tpu.core.checkpoint import load_params as _lp
+
+            casc_params = _lp(args.cascade_ckpt, template=jax.device_get(casc_params))
+        casc_step = jax.jit(
+            lambda p, lrs: casc_restorer.generator.apply({"params": p}, lrs)
+        )
+        cascade = (casc_step, casc_params, casc_restorer)
+
     metrics = evaluate_dataset(
         restorer,
         params,
@@ -81,6 +98,7 @@ def main():
         save_path=args.save_path,
         save_image=args.save_image,
         chunk_t=args.chunk_t,
+        cascade=cascade,
     )
     if metrics:
         print(", ".join(f"{k}: {v:.4f}" for k, v in metrics.items()))
