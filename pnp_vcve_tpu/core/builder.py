@@ -140,6 +140,15 @@ def _build_basicvsr_net(**kwargs):
     return BasicVSRNet(**known)
 
 
+@BACKBONES.register(name="DenseMWNetMiniPSNR", aliases=("DenseMWNet_Mini_PSNR",))
+def _build_mwgan(**kwargs):
+    from pnp_vcve_tpu.models.baselines.mwgan import DenseMWNetMiniPSNR
+
+    known = {k.lower(): v for k, v in kwargs.items() if k.lower() in (
+        "in_nc", "out_nc", "nf", "nb", "nframes", "front_rbs", "gc")}
+    return DenseMWNetMiniPSNR(**known)
+
+
 def build_generator(cfg: dict):
     return BACKBONES.build(cfg)
 
@@ -154,6 +163,33 @@ def _build_restorer(generator: dict, pixel_loss: dict, test_cfg=None, **kwargs):
         loss_weight=pl.pop("loss_weight", 1.0),
         test_cfg=test_cfg,
     )
+
+
+@MODELS.register(
+    name="CenterFrameRestorer",
+    aliases=("STDF", "MFQEv2Restorer", "DCNGAN", "WMGAN"),
+)
+def _build_center_restorer(generator: dict, pixel_loss: dict = None, test_cfg=None, **kwargs):
+    from pnp_vcve_tpu.models.restorer import CenterFrameRestorer
+
+    test_cfg = dict(test_cfg or {"metrics": ["PSNR", "SSIM"], "crop_border": 0})
+    pl = dict(pixel_loss or {})
+    return CenterFrameRestorer(
+        generator=build_generator(dict(generator)),
+        pixel_loss=pl.pop("type", "CharbonnierLoss"),
+        loss_weight=pl.pop("loss_weight", 1.0),
+        test_cfg=test_cfg,
+    )
+
+
+@BACKBONES.register(name="EDVRNet")
+def _build_edvr(**kwargs):
+    from pnp_vcve_tpu.models.baselines.edvr import EDVRNet
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "mid_channels", "num_frames", "deform_groups",
+        "num_blocks_extraction", "num_blocks_reconstruction")}
+    return EDVRNet(**known)
 
 
 def build_restorer(model_cfg: dict, test_cfg: Optional[dict] = None):
@@ -303,6 +339,44 @@ def _build_reds_test(
         else tuple(f"{i:03d}" for i in range(240, 270))
     )
     clips = [ClipIndex(n, 100) for n in val]
+    p = _pipeline_params(pipeline)
+    return CompressTestDataset(
+        lq_folder=lq_folder,
+        gt_folder=gt_folder,
+        qp_slice_file=p["qp_slice_file"],
+        clips=clips,
+        num_input_frames=num_input_frames,
+        scale=scale,
+        filename_tmpl=p["filename_tmpl"],
+        replace_qp_with_ipb=p["replace_qp_with_ipb"],
+    )
+
+
+@DATASETS.register(
+    name="SRFolderMultipleGTDataset",
+    aliases=("SRVid4Dataset", "SRTestMultipleGTDataset",
+             "DAVISMultipleGTCompressDataset"),
+)
+def _build_folder_test(
+    lq_folder,
+    gt_folder,
+    num_input_frames=100,
+    scale=1,
+    pipeline=None,
+    test_mode=True,
+    **kwargs,
+):
+    """Generic folder-scanning whole-clip test dataset (Vid4/DAVIS/etc.)."""
+    import os
+
+    from pnp_vcve_tpu.data.datasets import ClipIndex, CompressTestDataset
+
+    names = sorted(d.name for d in os.scandir(lq_folder) if d.is_dir())
+    clips = [
+        ClipIndex(n, sum(1 for f in os.scandir(os.path.join(lq_folder, n))
+                         if f.name.endswith(".png")))
+        for n in names
+    ]
     p = _pipeline_params(pipeline)
     return CompressTestDataset(
         lq_folder=lq_folder,

@@ -21,7 +21,7 @@ from pnp_vcve_tpu.metrics import ssim as ssim_fn
 from pnp_vcve_tpu.metrics import tensor2img
 from pnp_vcve_tpu.train.losses import charbonnier_loss, l1_loss, mse_loss
 
-__all__ = ["Restorer", "ALLOWED_METRICS"]
+__all__ = ["Restorer", "CenterFrameRestorer", "ALLOWED_METRICS", "evaluate_center_frame_dataset"]
 
 ALLOWED_METRICS: Dict[str, Callable] = {"PSNR": psnr_fn, "SSIM": ssim_fn}
 
@@ -75,3 +75,53 @@ def average_clip_metrics(per_clip: list[Dict[str, float]]) -> Dict[str, float]:
         return {}
     keys = per_clip[0].keys()
     return {k: float(np.mean([c[k] for c in per_clip])) for k in keys}
+
+
+@dataclass
+class CenterFrameRestorer(Restorer):
+    """Restorer for window->center-frame models (STDF / MFQEv2 / DCNGAN;
+    reference restorers/stdf.py:13-120, mfqev2_restorer.py:14-140).
+
+    The generator consumes a (b, t, h, w, c) window and emits the enhanced
+    center frame (b, h, w, c); metrics run per center frame.
+    """
+
+    def evaluate_frame(self, output: np.ndarray, gt: np.ndarray) -> Dict[str, float]:
+        crop_border = int(self.test_cfg.get("crop_border", 0))
+        metrics = self.test_cfg.get("metrics", ["PSNR", "SSIM"])
+        out_img = tensor2img(output)
+        gt_img = tensor2img(gt)
+        return {
+            m: ALLOWED_METRICS[m](out_img, gt_img, crop_border=crop_border)
+            for m in metrics
+        }
+
+
+def evaluate_center_frame_dataset(
+    restorer: CenterFrameRestorer,
+    params,
+    samples,
+    apply_kwargs: Optional[dict] = None,
+    verbose: bool = True,
+) -> Dict[str, float]:
+    """Iterate (lq window, gt center) samples (e.g. LDPTripleDataset
+    .iter_test) and average the per-frame metrics."""
+    import jax
+
+    apply_kwargs = apply_kwargs or {}
+
+    @jax.jit
+    def step(p, lq, base_qps):
+        return restorer.generator.apply(
+            {"params": p}, lq, base_qps=base_qps, **apply_kwargs
+        )
+
+    per_frame = []
+    for s in samples:
+        out = step(params, jnp.asarray(s["lq"][None]), jnp.asarray(s["base_qps"][None]))
+        m = restorer.evaluate_frame(np.asarray(out[0]), s["gt"][0])
+        per_frame.append(m)
+        if verbose:
+            name = s.get("clip_name", str(len(per_frame)))
+            print(f"[eval] {name}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+    return average_clip_metrics(per_frame)

@@ -13,7 +13,7 @@ from typing import Sequence
 import numpy as np
 import optax
 
-__all__ = ["cosine_restart_schedule"]
+__all__ = ["cosine_restart_schedule", "linear_schedule", "reduce_on_plateau"]
 
 
 def cosine_restart_schedule(
@@ -33,3 +33,47 @@ def cosine_restart_schedule(
         )
     boundaries = list(np.cumsum(periods)[:-1])
     return optax.join_schedules(schedules, boundaries)
+
+
+def linear_schedule(base_lr: float, target_ratio=(1.0, 0.01), total_iters: int = 300_000):
+    """mmedit LinearLrUpdaterHook (core/scheduler/lr_updater.py:6-52):
+    linear ramp between base_lr*start and base_lr*end over total_iters."""
+    start, end = target_ratio
+
+    def fn(step):
+        import jax.numpy as jnp
+
+        frac = jnp.clip(step / total_iters, 0.0, 1.0)
+        return base_lr * (start + (end - start) * frac)
+
+    return fn
+
+
+def reduce_on_plateau(base_lr: float, factor: float = 0.5, min_lr: float = 0.0):
+    """mmedit ReduceLrUpdaterHook surface (core/scheduler/lr_updater.py:55-304):
+    host-side controller — call .step(metric) each eval; .lr feeds an optax
+    inject_hyperparams optimizer."""
+
+    class _Controller:
+        def __init__(self):
+            self.lr = base_lr
+            self.best = None
+            self.bad = 0
+            self.patience = 10
+
+        def step(self, metric, mode="min"):
+            better = (
+                self.best is None
+                or (metric < self.best if mode == "min" else metric > self.best)
+            )
+            if better:
+                self.best = metric
+                self.bad = 0
+            else:
+                self.bad += 1
+                if self.bad > self.patience:
+                    self.lr = max(self.lr * factor, min_lr)
+                    self.bad = 0
+            return self.lr
+
+    return _Controller()

@@ -219,3 +219,50 @@ def test_basicvsr_net_shapes(rng):
     out = model.apply(params, lrs)
     assert out.shape == (1, 3, 256, 256, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_edvr_shapes(rng):
+    from pnp_vcve_tpu.models.baselines.edvr import EDVRNet
+
+    model = EDVRNet(mid_channels=8, num_frames=3, deform_groups=2,
+                    num_blocks_extraction=1, num_blocks_reconstruction=1)
+    lrs = jnp.asarray(rng.random((1, 3, 32, 32, 3), np.float32))
+    params = model.init(jax.random.PRNGKey(0), lrs)
+    out = model.apply(params, lrs)
+    assert out.shape == (1, 128, 128, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pac_conv_matches_torch_semantics(rng):
+    """PAC = gaussian guidance kernel * per-tap conv; validated against a
+    direct numpy implementation of the pac_util spec."""
+    from pnp_vcve_tpu.ops.pac import pac_conv2d
+
+    b, h, w, cin, cout, cg = 1, 6, 7, 3, 4, 2
+    x = rng.standard_normal((b, h, w, cin)).astype(np.float32)
+    g = rng.standard_normal((b, h, w, cg)).astype(np.float32)
+    k = rng.standard_normal((3, 3, cin, cout)).astype(np.float32) * 0.2
+    bias = rng.standard_normal(cout).astype(np.float32) * 0.1
+
+    xp = np.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    gp = np.pad(g, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    expected = np.zeros((b, h, w, cout)) + bias
+    for y in range(h):
+        for xx in range(w):
+            for dy in range(3):
+                for dx in range(3):
+                    kk = np.exp(-0.5 * np.sum((gp[0, y + dy, xx + dx] - g[0, y, xx]) ** 2))
+                    expected[0, y, xx] += kk * (xp[0, y + dy, xx + dx] @ k[dy, dx])
+    got = np.asarray(pac_conv2d(jnp.asarray(x), jnp.asarray(g), jnp.asarray(k), jnp.asarray(bias)))
+    np.testing.assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
+
+
+def test_mwgan_shapes(rng):
+    from pnp_vcve_tpu.models.baselines.mwgan import DenseMWNetMiniPSNR
+
+    model = DenseMWNetMiniPSNR(nf=16, nb=1, front_rbs=1, gc=8)
+    lrs = jnp.asarray(rng.random((1, 5, 32, 32, 3), np.float32))
+    params = model.init(jax.random.PRNGKey(0), lrs)
+    out = model.apply(params, lrs)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()

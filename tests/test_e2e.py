@@ -3,6 +3,8 @@ full-clip eval with PSNR/SSIM. Exercises every layer together."""
 
 import json
 
+import jax.numpy as jnp
+
 import numpy as np
 import pytest
 from PIL import Image
@@ -228,3 +230,35 @@ def test_ldp_triple_dataset(dataset_root):
     # fixture: frames 2 and 4 are B in each of 2 clips
     assert len(items) == 4
     assert items[0]["lq"].shape[0] == 3
+
+
+def test_center_frame_eval_with_stdf(dataset_root):
+    import jax
+    from pnp_vcve_tpu.data.datasets import ClipIndex
+    from pnp_vcve_tpu.data.ldp import LDPTripleDataset
+    from pnp_vcve_tpu.models.baselines import STDFNet
+    from pnp_vcve_tpu.models.restorer import (
+        CenterFrameRestorer,
+        evaluate_center_frame_dataset,
+    )
+
+    ds = LDPTripleDataset(
+        lq_folder=str(dataset_root / "crf15" / "png"),
+        gt_folder=str(dataset_root / "sharp" / "png"),
+        cprs15_folder=str(dataset_root / "crf15" / "png"),
+        cprs25_folder=str(dataset_root / "crf25" / "png"),
+        cprs35_folder=str(dataset_root / "crf35" / "png"),
+        qp_slice_file=str(dataset_root / "qp.json"),
+        clips=[ClipIndex("000", T_FRAMES)],
+        centers="nonpqf",
+        gt_patch_size=16,
+    )
+    model = STDFNet(radius=1, nf_stdf=4, nb_stdf=2, nf_stdf_out=4, nf_qe=4, nb_qe=1)
+    s0 = next(iter(ds.iter_test(crf=15)))
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(s0["lq"][None]))["params"]
+    restorer = CenterFrameRestorer(generator=model)
+    agg = evaluate_center_frame_dataset(
+        restorer, params, ds.iter_test(crf=15), verbose=False
+    )
+    assert set(agg) == {"PSNR", "SSIM"}
+    assert np.isfinite(agg["PSNR"])

@@ -170,3 +170,27 @@ def test_flow_warp_impls_match_oracle(rng, impl):
         .numpy()
     )
     np.testing.assert_allclose(ours, expected, atol=2e-5, rtol=1e-5)
+
+
+def test_dwt_iwt_roundtrip_and_torch_parity(rng):
+    from pnp_vcve_tpu.ops.wavelet import dwt, iwt
+
+    x = rng.standard_normal((2, 8, 12, 5)).astype(np.float32)
+    d = np.asarray(dwt(jnp.asarray(x)))
+    assert d.shape == (2, 4, 6, 20)
+
+    # torch-convention oracle (wavelet_util.py:20-33) on NCHW
+    xt = x.transpose(0, 3, 1, 2)
+    x01 = xt[:, :, 0::2, :] / 2
+    x02 = xt[:, :, 1::2, :] / 2
+    x1, x2 = x01[:, :, :, 0::2], x02[:, :, :, 0::2]
+    x3, x4 = x01[:, :, :, 1::2], x02[:, :, :, 1::2]
+    expected = np.concatenate(
+        [x1 + x2 + x3 + x4, -x1 - x2 + x3 + x4, -x1 + x2 - x3 + x4, x1 - x2 - x3 + x4],
+        axis=1,
+    ).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(d, expected, atol=1e-6)
+
+    # exact invertibility
+    r = np.asarray(iwt(jnp.asarray(d)))
+    np.testing.assert_allclose(r, x, atol=1e-6)
