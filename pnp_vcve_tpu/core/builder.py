@@ -64,7 +64,7 @@ def _build_pnp_vcve(
     keyframe_stride=5,
     **kwargs,
 ):
-    if blocktype != "drt":
+    if blocktype not in ("drt", "drt_woqp"):
         raise NotImplementedError(f"blocktype={blocktype!r} not implemented yet")
     if deform != "vos":
         raise NotImplementedError(f"deform={deform!r} (DCN aligners) not implemented yet")
@@ -81,6 +81,7 @@ def _build_pnp_vcve(
         channel_first=channel_first,
         align_key=align_key,
         vsr=vsr,
+        blocktype=blocktype,
         flow_interpolation=flow_inter,
         remat=remat,
     )

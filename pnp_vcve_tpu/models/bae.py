@@ -84,6 +84,8 @@ class DRTBlock(nn.Module):
     one_layer: bool = True
     channel_first: bool = True
     res_scale: float = 1.0
+    use_dynamic: bool = True  # False = blocktype='drt_woqp' (plain conv2,
+    # reference sr_backbone_utils.py:336-383 with one_layer=True)
     use_pallas: bool = False
     pallas_th: int = 8
 
@@ -96,13 +98,20 @@ class DRTBlock(nn.Module):
         gamma: Optional[jnp.ndarray],
     ) -> jnp.ndarray:
         c = self.mid_channels
+        b = x.shape[0]
 
         par_kernel = self.param("par_kernel", scaled_kaiming_normal(0.1), (c, 3, c))
-        bank, bias_bank = _ExpertBank(
-            channels=c, num_experts=self.num_experts, name="conv2"
-        )()
-        dyn_kernels, dyn_biases = mix_expert_kernels(weights, bank, bias_bank)
-        se_gamma = gamma if self.with_se else None
+        if self.use_dynamic:
+            bank, bias_bank = _ExpertBank(
+                channels=c, num_experts=self.num_experts, name="conv2"
+            )()
+            dyn_kernels, dyn_biases = mix_expert_kernels(weights, bank, bias_bank)
+        else:
+            k2 = self.param("conv2_kernel", scaled_kaiming_normal(0.1), (3, 3, c, c))
+            b2 = self.param("conv2_bias", nn.initializers.zeros, (c,))
+            dyn_kernels = jnp.broadcast_to(k2[None], (b, 3, 3, c, c))
+            dyn_biases = jnp.broadcast_to(b2[None], (b, c))
+        se_gamma = gamma if (self.with_se and self.use_dynamic) else None
 
         if self.one_layer:
             conv1_kernel = self.param(
@@ -171,6 +180,7 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
     with_se: bool = True
     one_layer: bool = True
     channel_first: bool = True
+    use_dynamic: bool = True
     use_pallas: bool = False
     pallas_th: int = 8
 
@@ -200,6 +210,7 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
                 with_se=self.with_se,
                 one_layer=self.one_layer,
                 channel_first=self.channel_first,
+                use_dynamic=self.use_dynamic,
                 use_pallas=self.use_pallas,
                 pallas_th=self.pallas_th,
                 name=f"block{i}",

@@ -114,6 +114,7 @@ class _BackwardStep(nn.Module):
     with_cat: bool
     align_key: bool
     flow_interpolation: str
+    use_dynamic: bool = True
     use_pallas: bool = False
 
     @nn.compact
@@ -146,6 +147,7 @@ class _BackwardStep(nn.Module):
             with_se=self.with_se,
             one_layer=self.one_layer,
             channel_first=self.channel_first,
+            use_dynamic=self.use_dynamic,
             use_pallas=self.use_pallas,
             name="resblocks",
         )(feat, par, weights, gamma)
@@ -167,6 +169,7 @@ class _ForwardStep(nn.Module):
     align_key: bool
     flow_interpolation: str
     vsr: bool
+    use_dynamic: bool = True
     use_pallas: bool = False
 
     @nn.compact
@@ -200,6 +203,7 @@ class _ForwardStep(nn.Module):
             with_se=self.with_se,
             one_layer=self.one_layer,
             channel_first=self.channel_first,
+            use_dynamic=self.use_dynamic,
             use_pallas=self.use_pallas,
             name="resblocks",
         )(feat, par, weights, gamma)
@@ -248,6 +252,7 @@ class PnPVCVE(nn.Module):
     channel_first: bool = True
     align_key: bool = True
     vsr: bool = False
+    blocktype: str = "drt"  # 'drt' | 'drt_woqp' (plain conv2)
     se_reduction: int = 16
     flow_interpolation: str = "bilinear"
     use_pallas_kernels: bool = False
@@ -317,6 +322,7 @@ class PnPVCVE(nn.Module):
             with_cat=self.with_cat,
             align_key=self.align_key,
             flow_interpolation=self.flow_interpolation,
+            use_dynamic=self.blocktype == "drt",
             use_pallas=self.use_pallas_kernels,
         )
 

@@ -266,3 +266,19 @@ def test_mwgan_shapes(rng):
     out = model.apply(params, lrs)
     assert out.shape == (1, 32, 32, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tdan_shapes(rng):
+    from pnp_vcve_tpu.models.baselines.tdan import TDANNet
+
+    model = TDANNet(mid_channels=8, num_blocks_before_align=1,
+                    num_blocks_after_align=1)
+    lrs = jnp.asarray(rng.random((1, 5, 16, 16, 3), np.float32))
+    params = model.init(jax.random.PRNGKey(0), lrs)
+    hr, aligned = model.apply(params, lrs)
+    assert hr.shape == (1, 64, 64, 3)
+    assert aligned.shape == (1, 5, 16, 16, 3)
+    # center frame passes through unchanged
+    np.testing.assert_allclose(
+        np.asarray(aligned[:, 2]), np.asarray(lrs[:, 2]), atol=1e-6
+    )

@@ -207,3 +207,27 @@ def test_model_vsr_output_shape(inputs):
     params = model.init(jax.random.PRNGKey(0), **jinp)
     out = jax.jit(model.apply)(params, **jinp)
     assert out.shape == (B, T, 4 * H, 4 * W, 3)
+
+
+def test_drt_woqp_block(inputs):
+    """blocktype='drt_woqp' (plain conv2 instead of the expert mixture,
+    reference sr_backbone_utils.py:336-383)."""
+    from pnp_vcve_tpu.models.bae import ResidualBlocksWithInputConvDynamicDRT
+
+    rng_np = np.random.default_rng(0)
+    x = jnp.asarray(rng_np.random((1, 8, 8, C), np.float32))
+    par = jnp.asarray(rng_np.random((1, 8, 8, 3), np.float32))
+    w = jnp.asarray(rng_np.random((1, K), np.float32))
+    g = jnp.asarray(rng_np.random((1, C), np.float32))
+    mod = ResidualBlocksWithInputConvDynamicDRT(
+        in_channels=C, out_channels=C, num_blocks=1, num_experts=K,
+        use_dynamic=False,
+    )
+    params = mod.init(jax.random.PRNGKey(0), x, par, w, g)
+    out = mod.apply(params, x, par, w, g)
+    assert out.shape == x.shape
+    # no expert bank in the tree
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    names = [jax.tree_util.keystr(p) for p, _ in flat]
+    assert not any("bank" in n for n in names)
+    assert any("conv2_kernel" in n for n in names)
