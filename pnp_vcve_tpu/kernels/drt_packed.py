@@ -90,7 +90,11 @@ def _kernel(
     parband = parbands.at[slot]
 
     rows1 = th + 2
-    cols1 = wh + 2
+    # the stage-1 grid column count must be a multiple of the sublane tile
+    # (8): misaligned-SIZE window flattens force Mosaic value relayouts that
+    # cost ~3x the matmuls themselves (measured); extra columns are dead
+    # (masked as out-of-image below)
+    cols1 = _round_up(wh + 2)
     c = c2 // 2
 
     # ---- stage 1: dynamic conv + bias, * gamma
@@ -143,7 +147,7 @@ def _pack_pk(par_kernel):
 
 @functools.partial(jax.jit, static_argnames=("th",))
 def drt_block_packed(x, par, dyn_kernels, dyn_biases, par_kernel, conv1_kernel,
-                     conv1_bias, gamma, th: int = 8):
+                     conv1_bias, gamma, th: int = 16):
     """Fused DRT block; args as in kernels.conv_block.drt_block_pallas.
 
     x (b,h,w,c) with even w; out = x + conv1(relu(gamma*dynconv(x)+dyres)).
@@ -155,9 +159,11 @@ def drt_block_packed(x, par, dyn_kernels, dyn_biases, par_kernel, conv1_kernel,
     wh = w // 2
 
     # stage-1 packed grid j1 covers orig pairs (2j1-2, 2j1-1), j1 in
-    # [0, wh+2); its window needs packed padded cols [j1, j1+2] where padded
-    # col p = orig (2p-4, 2p-3)  ->  orig left pad 4, right pad >= 3.
-    wp2 = _round_up(wh + 4)
+    # [0, cols1); its window needs packed padded cols [j1, j1+2] where padded
+    # col p = orig (2p-4, 2p-3) -> orig left pad 4; right pad covers the
+    # 8-aligned grid (see _kernel).
+    cols1 = _round_up(wh + 2)
+    wp2 = _round_up(cols1 + 2)
     xp = jnp.pad(x, ((0, 0), (2, 2), (4, 2 * wp2 - w - 4), (0, 0)))
     xp = xp.reshape(b, h + 4, wp2, c2)
 
@@ -165,7 +171,7 @@ def drt_block_packed(x, par, dyn_kernels, dyn_biases, par_kernel, conv1_kernel,
     # padded to a full 128-lane dim (Mosaic DMA requires lane-aligned
     # slices); the pad is identical across all blocks of a stack, so XLA
     # CSEs it to a single materialization per step.
-    wp1 = _round_up(wh + 2)
+    wp1 = _round_up(wh + 2)  # == cols1
     parp = jnp.pad(par, ((0, 0), (1, 1), (2, 2 * wp1 - w - 2), (0, 0)))
     parp = parp.reshape(b, h + 2, wp1, 6)
     parp = jnp.pad(parp, ((0, 0), (0, 0), (0, 0), (0, 128 - 6)))
@@ -206,7 +212,7 @@ def drt_block_packed(x, par, dyn_kernels, dyn_biases, par_kernel, conv1_kernel,
         scratch_shapes=[
             pltpu.VMEM((2, th + 4, wp2, c2), x.dtype),
             pltpu.VMEM((2, th + 2, wp1, 128), par.dtype),
-            pltpu.VMEM((th + 2, wh + 2, c2), x.dtype),
+            pltpu.VMEM((th + 2, cols1, c2), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

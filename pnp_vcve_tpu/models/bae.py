@@ -14,8 +14,9 @@ TPU-native formulation:
   result is contracted against the partition map;
 - with ``use_pallas=True`` the whole block executes as one fused Pallas
   kernel (:mod:`pnp_vcve_tpu.kernels.drt_packed`): pixel-pair packed MXU
-  layout, one HBM read + one write per block (numerically identical,
-  kernel-tested against this composition);
+  layout, one HBM read + one write per block, 2.9x the XLA composition
+  (numerically identical, kernel-tested). INFERENCE ONLY: the kernel has no
+  custom VJP yet, so keep the flag off for training;
 - the sparse eval path of the reference (index_select matmuls,
   sr_backbone_utils.py:294-302) is intentionally NOT replicated: gather/
   scatter sparsity loses to dense MXU work on TPU (the shipped flagship
@@ -87,7 +88,7 @@ class DRTBlock(nn.Module):
     use_dynamic: bool = True  # False = blocktype='drt_woqp' (plain conv2,
     # reference sr_backbone_utils.py:336-383 with one_layer=True)
     use_pallas: bool = False
-    pallas_th: int = 8
+    pallas_th: int = 16
 
     @nn.compact
     def __call__(
@@ -182,7 +183,7 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
     channel_first: bool = True
     use_dynamic: bool = True
     use_pallas: bool = False
-    pallas_th: int = 8
+    pallas_th: int = 16
 
     @nn.compact
     def __call__(
