@@ -15,12 +15,13 @@ items, with a data-dependent ``torch.where`` nearest-keyframe lookup per
 - Keyframe routing is precomputed as dense ``(b, t)`` index arrays from the
   slice-type codes with two cumulative scans (``cummax``/``cummin``) — no
   data-dependent control flow reaches the device loop.
-- Both propagation sweeps are single ``nn.scan``-transformed steps; the
-  per-step feature store (the reference's Python list ``outputs``) is a
-  ``(b, t, h, w, c)`` HBM ring carried through the scan and updated with
-  ``dynamic_update_slice`` (in-place under XLA buffer donation).
-- The keyframe feature gather ``outputs[key_idx][batch]`` becomes a
-  vmapped dynamic-slice over the carried buffer.
+- Both propagation sweeps are single ``nn.scan``-transformed steps with an
+  O(1) carry ``(prev_out, last_keyframe_out, prev_was_key)``: in scan order
+  the nearest keyframe is always the most recently processed one, so the
+  reference's random-access feature list (``outputs[key_idx]``,
+  iconvsr_ipb_par.py:81,116) needs no carried (b,t,h,w,c) store at all —
+  the backward sweep's outputs are stacked scan outputs consumed by the
+  forward sweep as per-step inputs.
 - ``use_pallas_kernels=True`` routes every DRT block through the fused
   pixel-pair-packed Pallas kernel (kernels/drt_packed.py).
 - Warping uses the bitstream flows directly (``ops.flow_warp``); slice codes
@@ -50,18 +51,6 @@ from pnp_vcve_tpu.ops.warp import flow_warp
 from pnp_vcve_tpu.ops.upsample import pixel_shuffle, bilinear_resize
 
 __all__ = ["PnPVCVE", "keyframe_indices"]
-
-def _gather_time(buf, idx):
-    """Per-sample time-index gather from the (b, t, h, w, c) feature store.
-
-    vmapped dynamic-slice: lowers to a cheap dynamic-slice per sample
-    instead of an element-level gather (take_along_axis), which is
-    issue-rate-bound on TPU.
-    """
-    return jax.vmap(
-        lambda bbuf, bi: jax.lax.dynamic_index_in_dim(bbuf, bi, 0, keepdims=False)
-    )(buf, idx)
-
 
 I_SLICE = 73.0  # ord('I')
 P_SLICE = 80.0  # ord('P')
@@ -118,21 +107,23 @@ class _BackwardStep(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, buf, xs):
-        i, lr, flow, par, weights, gamma, key_idx = xs
-        b, t = buf.shape[0], buf.shape[1]
+    def __call__(self, carry, xs):
+        # O(1) carry: in scan order the nearest future keyframe is always
+        # the most recently PROCESSED keyframe, so no (b,t,h,w,c) feature
+        # store is needed (the reference keeps a Python list; a carried
+        # buffer costs a full copy per step under XLA).
+        prev_out, last_key, prev_was_key = carry
+        is_first, lr, flow, par, weights, gamma, is_key = xs
 
-        key_feat = _gather_time(buf, key_idx)
-        key_warp = flow_warp(key_feat, flow, self.flow_interpolation)
-        nbr_i = jnp.minimum(i + 1, t - 1)
-        neighbor = jax.lax.dynamic_index_in_dim(buf, nbr_i, axis=1, keepdims=False)
+        key_warp = flow_warp(last_key, flow, self.flow_interpolation)
+        neighbor = prev_out
         if self.align_key:
-            use_key = (key_idx == i + 1)[:, None, None, None]
-            neighbor = jnp.where(use_key, key_warp, neighbor)
-        is_last = (i == t - 1)
-        zero = jnp.zeros((), buf.dtype)
-        key_warp = jnp.where(is_last, zero, key_warp)
-        neighbor = jnp.where(is_last, zero, neighbor)
+            neighbor = jnp.where(
+                prev_was_key[:, None, None, None], key_warp, neighbor
+            )
+        zero = jnp.zeros((), prev_out.dtype)
+        key_warp = jnp.where(is_first, zero, key_warp)
+        neighbor = jnp.where(is_first, zero, neighbor)
 
         if self.with_cat:
             feat = jnp.concatenate([lr, key_warp, neighbor], axis=-1)
@@ -152,8 +143,9 @@ class _BackwardStep(nn.Module):
             name="resblocks",
         )(feat, par, weights, gamma)
 
-        buf = jax.lax.dynamic_update_slice_in_dim(buf, out[:, None], i, axis=1)
-        return buf, None
+        key_mask = is_key[:, None, None, None]
+        last_key = jnp.where(key_mask, out, last_key)
+        return (out, last_key, is_key), out
 
 
 class _ForwardStep(nn.Module):
@@ -173,23 +165,20 @@ class _ForwardStep(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, buf, xs):
-        i, lr, flow, par, weights, gamma, key_idx = xs
-        b, t = buf.shape[0], buf.shape[1]
+    def __call__(self, carry, xs):
+        prev_out, last_key, prev_was_key = carry
+        is_first, lr, flow, par, weights, gamma, is_key, cur = xs
 
-        key_feat = _gather_time(buf, key_idx)
-        key_warp = flow_warp(key_feat, flow, self.flow_interpolation)
-        nbr_i = jnp.maximum(i - 1, 0)
-        neighbor = jax.lax.dynamic_index_in_dim(buf, nbr_i, axis=1, keepdims=False)
+        key_warp = flow_warp(last_key, flow, self.flow_interpolation)
+        neighbor = prev_out
         if self.align_key:
-            use_key = (key_idx == i - 1)[:, None, None, None]
-            neighbor = jnp.where(use_key, key_warp, neighbor)
-        is_first = (i == 0)
-        zero = jnp.zeros((), buf.dtype)
+            neighbor = jnp.where(
+                prev_was_key[:, None, None, None], key_warp, neighbor
+            )
+        zero = jnp.zeros((), prev_out.dtype)
         key_warp = jnp.where(is_first, zero, key_warp)
         neighbor = jnp.where(is_first, zero, neighbor)
 
-        cur = jax.lax.dynamic_index_in_dim(buf, i, axis=1, keepdims=False)
         if self.with_cat:
             feat = jnp.concatenate([lr, key_warp, neighbor, cur], axis=-1)
         else:
@@ -208,7 +197,8 @@ class _ForwardStep(nn.Module):
             name="resblocks",
         )(feat, par, weights, gamma)
 
-        buf = jax.lax.dynamic_update_slice_in_dim(buf, out[:, None], i, axis=1)
+        key_mask = is_key[:, None, None, None]
+        new_last_key = jnp.where(key_mask, out, last_key)
 
         c = self.mid_channels
         lrelu = lambda v: nn.leaky_relu(v, negative_slope=0.1)  # noqa: E731
@@ -234,7 +224,7 @@ class _ForwardStep(nn.Module):
         y = lrelu(conv2d_nhwc(head_in, hr_k, hr_b))
         y = conv2d_nhwc(y, last_k, last_b)
         y = y + base
-        return buf, y
+        return (out, new_last_key, is_key), y
 
 
 class PnPVCVE(nn.Module):
@@ -304,13 +294,12 @@ class PnPVCVE(nn.Module):
             fwd_tail = jnp.flip(flows_fwd[:, th:], axis=1)
             flows_fwd = jnp.concatenate([flows_bwd[:, :1] * 0, fwd_tail[:, : t - 1]], 1)
 
-        _, key_fwd, key_bwd = keyframe_indices(slices)
+        keyframe, _, _ = keyframe_indices(slices)
 
         dtype = self.feature_dtype
         lrs_c = lrs.astype(dtype)
-        buf = jnp.zeros((b, t, h, w, c), dtype)
 
-        iota = jnp.arange(t, dtype=jnp.int32)
+        is_first = jnp.zeros((t,), bool).at[0].set(True)
 
         common = dict(
             mid_channels=c,
@@ -342,26 +331,34 @@ class PnPVCVE(nn.Module):
             return jnp.moveaxis(x, 1, 0)
 
         rev = slice(None, None, -1)
+        zero_frame = jnp.zeros((b, h, w, c), dtype)
+        carry0 = (zero_frame, zero_frame, jnp.zeros((b,), bool))
+
+        # per-frame flows: backward step i warps with mvs[:, i, ..., 2:4],
+        # forward step i with mvs[:, i, ..., 0:2] (the reference's shifted
+        # flows_forward[:, i-1] equals mvs[:, i] directly, iconvsr_ipb.py:33-46)
         xs_bwd = (
-            iota[rev],
+            is_first,
             tfirst(lrs_c)[rev],
             tfirst(flows_bwd.astype(dtype))[rev],
             tfirst(par_map.astype(dtype))[rev],
             tfirst(weights.astype(jnp.float32))[rev],
             tfirst(gammas.astype(jnp.float32))[rev],
-            tfirst(key_bwd)[rev],
+            tfirst(keyframe)[rev],
         )
-        buf, _ = bwd(buf, xs_bwd)
+        _, bwd_feats = bwd(carry0, xs_bwd)
+        bwd_feats = bwd_feats[rev]  # back to time order, (t, b, h, w, c)
 
         xs_fwd = (
-            iota,
+            is_first,
             tfirst(lrs_c),
             tfirst(flows_fwd.astype(dtype)),
             tfirst(par_map.astype(dtype)),
             tfirst(weights.astype(jnp.float32)),
             tfirst(gammas.astype(jnp.float32)),
-            tfirst(key_fwd),
+            tfirst(keyframe),
+            bwd_feats,
         )
-        _, ys = fwd(buf, xs_fwd)
+        _, ys = fwd(carry0, xs_fwd)
 
         return jnp.moveaxis(ys, 0, 1).astype(jnp.float32)
