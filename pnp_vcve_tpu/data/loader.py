@@ -77,6 +77,7 @@ class PrefetchLoader:
         self._pending: dict[int, dict] = {}
         self._lock = threading.Condition()
         self._claim = start_step
+        self._error: Optional[BaseException] = None
 
     def _build_batch(self, step: int) -> dict:
         samples = []
@@ -92,7 +93,14 @@ class PrefetchLoader:
             with self._lock:
                 step = self._claim
                 self._claim += 1
-            batch = self._build_batch(step)
+            try:
+                batch = self._build_batch(step)
+            except BaseException as e:  # propagate to the consumer
+                with self._lock:
+                    self._error = e
+                    self._stop.set()
+                    self._lock.notify_all()
+                return
             with self._lock:
                 self._pending[step] = batch
                 self._lock.notify_all()
@@ -115,6 +123,8 @@ class PrefetchLoader:
     def __next__(self) -> dict:
         with self._lock:
             while self._next_to_emit not in self._pending:
+                if self._error is not None:
+                    raise RuntimeError("data loader worker failed") from self._error
                 self._lock.wait(timeout=60.0)
             batch = self._pending.pop(self._next_to_emit)
             self._next_to_emit += 1

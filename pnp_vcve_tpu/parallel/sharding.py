@@ -26,8 +26,25 @@ def make_mesh(
     sp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a (dp, sp) mesh; dp defaults to n_devices / sp."""
-    devices = list(devices if devices is not None else jax.devices())
+    """Build a (dp, sp) mesh; dp defaults to n_devices / sp.
+
+    When ``devices`` is not given, the ``PNP_NUM_CHIPS`` env var (set by
+    tools/dist_train.sh's CHIPS argument, the analog of the reference's GPUS
+    count, /root/reference/tools/dist_train.sh:10-16) bounds the device
+    count; 0/unset means all local devices.
+    """
+    if devices is None:
+        import os
+
+        devices = jax.devices()
+        n_chips = int(os.environ.get("PNP_NUM_CHIPS", "0") or 0)
+        if n_chips > 0:
+            if n_chips > len(devices):
+                raise ValueError(
+                    f"CHIPS={n_chips} requested but only {len(devices)} devices"
+                )
+            devices = devices[:n_chips]
+    devices = list(devices)
     n = len(devices)
     if dp is None:
         if n % sp:

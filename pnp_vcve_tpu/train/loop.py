@@ -18,7 +18,22 @@ import numpy as np
 from pnp_vcve_tpu.core.checkpoint import CheckpointManager
 from pnp_vcve_tpu.train.state import TrainState
 
-__all__ = ["train_loop"]
+__all__ = ["train_loop", "state_payload"]
+
+
+def state_payload(state: TrainState, save_optimizer: bool = True) -> dict:
+    """Checkpoint payload: full train state (step + params + opt_state) so a
+    resumed run continues the Adam moments and the LR-schedule position
+    exactly (reference CheckpointHook saves optimizer state,
+    configs/HR_davis_LR_128x128.py:226; resume semantics apis/train.py:235).
+    ``save_optimizer=False`` matches the reference's weights-only publish."""
+    payload = {
+        "step": jax.device_get(state.step),
+        "params": jax.device_get(state.params),
+    }
+    if save_optimizer:
+        payload["opt_state"] = jax.device_get(state.opt_state)
+    return payload
 
 
 def train_loop(
@@ -33,6 +48,7 @@ def train_loop(
     ckpt_manager: Optional[CheckpointManager] = None,
     logger: Callable[[str], None] = print,
     start_iter: int = 0,
+    save_optimizer: bool = True,
 ) -> TrainState:
     it = iter(loader)
     losses = []
@@ -54,7 +70,7 @@ def train_loop(
             )
 
         if ckpt_manager is not None and (step + 1) % checkpoint_interval == 0:
-            ckpt_manager.save(step + 1, jax.device_get(state.params))
+            ckpt_manager.save(step + 1, state_payload(state, save_optimizer))
 
         if eval_fn is not None and eval_interval and (step + 1) % eval_interval == 0:
             metrics = eval_fn(state.params)
@@ -63,5 +79,7 @@ def train_loop(
                 + " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
             )
     if ckpt_manager is not None:
-        ckpt_manager.save(total_iters, jax.device_get(state.params), wait=True)
+        ckpt_manager.save(
+            total_iters, state_payload(state, save_optimizer), wait=True
+        )
     return state

@@ -114,13 +114,17 @@ def main():
     ckpt = CheckpointManager(cfg.work_dir)
     start_iter = 0
     if args.resume_from:
-        restored = CheckpointManager(args.resume_from).restore(
-            template=jax.device_get(state.params)
-        )
-        if restored is not None:
-            state = state.replace(params=jax.device_put(restored, replicated(mesh)))
-            start_iter = CheckpointManager(args.resume_from).latest_step() or 0
-            print(f"resumed params at iter {start_iter}")
+        from pnp_vcve_tpu.core.checkpoint import restore_train_state
+
+        state, start_iter = restore_train_state(args.resume_from, state)
+        state = jax.device_put(state, replicated(mesh))
+        print(f"resumed full train state at iter {start_iter}")
+    elif args.load_from:
+        from pnp_vcve_tpu.core.checkpoint import load_params
+
+        params = load_params(args.load_from, template=jax.device_get(state.params))
+        state = state.replace(params=jax.device_put(params, replicated(mesh)))
+        print(f"loaded weights from {args.load_from}")
 
     fix_iter = cfg.get("train_cfg", {}).get("fix_iter", 0) or 0
     train_step = make_train_step(model, restorer.loss_fn(), fix_iter=fix_iter)
@@ -150,15 +154,46 @@ def main():
             for b in loader:
                 yield remap(b)
 
+    # periodic validation (reference DistEvalIterHook every `interval` iters,
+    # mmedit/core/evaluation/eval_hooks.py:71-114, cfg key `evaluation`)
+    eval_cfg = cfg.get("evaluation", {}) or {}
+    eval_interval = int(eval_cfg.get("interval", 0) or 0)
+    eval_fn = None
+    val_cfg = cfg.data.get("val")
+    if eval_interval and val_cfg is not None:
+        from pnp_vcve_tpu.core.builder import build_dataset
+        from pnp_vcve_tpu.train.eval import evaluate_dataset
+
+        val_dataset = build_dataset(dict(val_cfg))
+        val_save_path = (
+            os.path.join(cfg.work_dir, "val")
+            if eval_cfg.get("save_image", False)
+            else None
+        )
+
+        def eval_fn(params):
+            return evaluate_dataset(
+                restorer,
+                params,
+                val_dataset,
+                save_path=val_save_path,
+                save_image=bool(eval_cfg.get("save_image", False)),
+                chunk_t=eval_cfg.get("chunk_t"),
+                verbose=False,
+            )
+
     log_int = cfg.get("log_config", {}).get("interval", 100)
-    ckpt_int = cfg.get("checkpoint_config", {}).get("interval", 2000)
+    ckpt_cfg = cfg.get("checkpoint_config", {}) or {}
     train_loop(
         state,
         train_step,
         _Remapped(),
         total_iters=total_iters,
         log_interval=log_int,
-        checkpoint_interval=ckpt_int,
+        checkpoint_interval=ckpt_cfg.get("interval", 2000),
+        save_optimizer=bool(ckpt_cfg.get("save_optimizer", True)),
+        eval_interval=eval_interval,
+        eval_fn=eval_fn,
         ckpt_manager=ckpt,
         start_iter=start_iter,
     )
