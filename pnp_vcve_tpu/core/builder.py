@@ -60,15 +60,19 @@ def _build_pnp_vcve(
     drconv=False,
     num_group=1,
     deform="vos",
+    deform_groups=16,
     max_residue_magnitude=10,
     keyframe_stride=5,
     **kwargs,
 ):
     if blocktype not in ("drt", "drt_woqp"):
         raise NotImplementedError(f"blocktype={blocktype!r} not implemented yet")
-    if deform != "vos":
-        raise NotImplementedError(f"deform={deform!r} (DCN aligners) not implemented yet")
+    if deform not in ("vos", "basic", "fvc"):
+        # 'stdf' raises in the reference too (iconvsr_ipb.py:26-28)
+        raise NotImplementedError(f"No such DCN type: {deform!r}")
     return PnPVCVE(
+        deform=deform,
+        deform_groups=deform_groups,
         mid_channels=mid_channels,
         num_blocks=num_blocks,
         num_experts=num_experts,
@@ -139,6 +143,25 @@ def _build_basicvsr_net(**kwargs):
 
     known = {k: v for k, v in kwargs.items() if k in ("mid_channels", "num_blocks")}
     return BasicVSRNet(**known)
+
+
+@BACKBONES.register(name="TDANNet")
+def _build_tdan(**kwargs):
+    from pnp_vcve_tpu.models.baselines.tdan import TDANNet
+
+    known = {
+        k: v
+        for k, v in kwargs.items()
+        if k
+        in (
+            "in_channels",
+            "mid_channels",
+            "out_channels",
+            "num_blocks_before_align",
+            "num_blocks_after_align",
+        )
+    }
+    return TDANNet(**known)
 
 
 @BACKBONES.register(name="DenseMWNetMiniPSNR", aliases=("DenseMWNet_Mini_PSNR",))

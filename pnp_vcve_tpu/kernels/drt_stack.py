@@ -1,0 +1,319 @@
+"""Chained DRT blocks in a shared padded-packed format (PF) — zero XLA glue
+between blocks.
+
+Motivation (measured, tools/perf_probe.py): running the fused per-block
+kernel (:mod:`drt_packed`) back to back leaves ~6 ms/frame of XLA work
+BETWEEN kernels — each call pads the (b,h,w,64) feature map (two full-frame
+copies), reshapes to packed, and relayouts the custom-call output. Here all
+N blocks of a BAE stack consume and produce the SAME padded-packed tensor:
+
+    PF: (b, HP, WP, 2c) bfloat16
+        orig row r      <-> padded row  r + 8
+        orig pixel pair (2j, 2j+1) <-> padded packed col j + 8
+        everything outside the interior is zeros (maintained by each block)
+
+so the loop over blocks is pure pallas_call chaining: pack once before
+block 0, unpack once after block N-1. Kernel math is identical to
+drt_packed._kernel (reference semantics sr_backbone_utils.py:304-313,
+channel_first / one_layer / with_se):
+
+    dyres = sum_r par_r * (x @ PK_r)
+    h     = relu(gamma * (dynconv3x3(x) + b2) + dyres)
+    out   = x + conv1_3x3(h) + b1
+
+The 8-packed-col left pad makes every store offset sublane-aligned; the
+first/last row tiles zero-fill their 2 missing band rows (the ±2-row DMA
+context structurally exceeds the array at the edges).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .packing import pack_conv3x3_kernel_per_tap
+
+__all__ = ["drt_stack_packed", "pack_pf", "unpack_pf", "par_to_pf", "pf_geometry"]
+
+PAD_R = 8  # top row pad (orig row r <-> padded row r + PAD_R)
+PAD_C = 8  # left packed-col pad (8-aligned so all stores are aligned)
+
+
+def _round_up(v: int, m: int = 8) -> int:
+    return -(-v // m) * m
+
+
+def pf_geometry(h: int, w: int, th: int):
+    """(HP, WP, wh, cols1, cols2) for the padded-packed format."""
+    if w % 2:
+        raise ValueError(f"need even w, got {w}")
+    wh = w // 2
+    cols2 = _round_up(wh)          # stage-2 compute width (>= wh, aligned)
+    cols1 = cols2 + 8              # stage-1 width (stage-2 needs cols2+2)
+    WP = cols1 + PAD_C             # band window reads up to cols1+7 + 1
+    HP = _round_up(h + 2 * PAD_R, th)
+    return HP, WP, wh, cols1, cols2
+
+
+def pack_pf(x: jnp.ndarray, th: int) -> jnp.ndarray:
+    """(b, h, w, c) -> PF (b, HP, WP, 2c)."""
+    b, h, w, c = x.shape
+    HP, WP, wh, _, _ = pf_geometry(h, w, th)
+    xp = jnp.pad(
+        x, ((0, 0), (PAD_R, HP - h - PAD_R), (2 * PAD_C, 2 * (WP - wh - PAD_C)), (0, 0))
+    )
+    return xp.reshape(b, HP, WP, 2 * c)
+
+
+def unpack_pf(y: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """PF (b, HP, WP, 2c) -> (b, h, w, c)."""
+    b, HP, WP, c2 = y.shape
+    wh = w // 2
+    y = y[:, PAD_R : PAD_R + h, PAD_C : PAD_C + wh]
+    return y.reshape(b, h, w, c2 // 2)
+
+
+def par_to_pf(par: jnp.ndarray, th: int, lanes: int = 128) -> jnp.ndarray:
+    """(b, h, w, 3) partition map -> PF (b, HP, WP, lanes) with channels
+    [even r0, even r1, even r2, odd r0, odd r1, odd r2, 0...]."""
+    b, h, w, _ = par.shape
+    HP, WP, wh, _, _ = pf_geometry(h, w, th)
+    p = par.reshape(b, h, wh, 6)
+    p = jnp.pad(
+        p,
+        (
+            (0, 0),
+            (PAD_R, HP - h - PAD_R),
+            (PAD_C, WP - wh - PAD_C),
+            (0, lanes - 6),
+        ),
+    )
+    return p
+
+
+def _tap_conv(band, w_taps, rows, cols, c2, row0=0, col0=0):
+    acc = jnp.zeros((rows * cols, c2), jnp.float32)
+    for dy in range(3):
+        for k in range(3):
+            win = band[
+                row0 + dy : row0 + dy + rows, col0 + k : col0 + k + cols
+            ].reshape(rows * cols, c2)
+            acc = acc + jnp.dot(win, w_taps[dy, k], preferred_element_type=jnp.float32)
+    return acc
+
+
+def _band_dma(src_hbm, bi, band, sem, t, n_tiles, th, do_start: bool):
+    """DMA the (th+4)-row context band for out-tile t. Both array edges
+    structurally under/over-run by 2 rows; those rows are zeros (outside the
+    PF interior), so edge tiles transfer th+2 rows and zero-fill the rest."""
+    s = t * th - 2
+
+    @pl.when(t == 0)
+    def _():
+        d = pltpu.make_async_copy(
+            src_hbm.at[bi, pl.ds(0, th + 2)], band.at[pl.ds(2, th + 2)], sem
+        )
+        if do_start:
+            band[0:2] = jnp.zeros_like(band[0:2])
+            d.start()
+        else:
+            d.wait()
+
+    @pl.when((t > 0) & (t < n_tiles - 1))
+    def _():
+        d = pltpu.make_async_copy(
+            src_hbm.at[bi, pl.ds(s, th + 4)], band, sem
+        )
+        if do_start:
+            d.start()
+        else:
+            d.wait()
+
+    @pl.when((t == n_tiles - 1) & (t > 0))
+    def _():
+        d = pltpu.make_async_copy(
+            src_hbm.at[bi, pl.ds(s, th + 2)], band.at[pl.ds(0, th + 2)], sem
+        )
+        if do_start:
+            band[th + 2 : th + 4] = jnp.zeros_like(band[th + 2 : th + 4])
+            d.start()
+        else:
+            d.wait()
+
+
+def _kernel(
+    xpf_hbm, parpf_hbm, w2_ref, b2_ref, pk_ref, w1_ref, b1_ref, g_ref, o_ref,
+    bands, parbands, hmid, sems, psems, *, th, c2, h, w, cols1, cols2,
+):
+    bi = pl.program_id(0)
+    ri = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    slot = jax.lax.rem(ri, 2)
+    nxt = jax.lax.rem(ri + 1, 2)
+
+    @pl.when(ri == 0)
+    def _():
+        _band_dma(xpf_hbm, bi, bands.at[0], sems.at[0], 0, n_tiles, th, True)
+        _band_dma(parpf_hbm, bi, parbands.at[0], psems.at[0], 0, n_tiles, th, True)
+
+    @pl.when(ri + 1 < n_tiles)
+    def _():
+        _band_dma(xpf_hbm, bi, bands.at[nxt], sems.at[nxt], ri + 1, n_tiles, th, True)
+        _band_dma(parpf_hbm, bi, parbands.at[nxt], psems.at[nxt], ri + 1, n_tiles, th, True)
+
+    _band_dma(xpf_hbm, bi, bands.at[slot], sems.at[slot], ri, n_tiles, th, False)
+    _band_dma(parpf_hbm, bi, parbands.at[slot], psems.at[slot], ri, n_tiles, th, False)
+    band = bands.at[slot]
+    parband = parbands.at[slot]
+
+    rows1 = th + 2
+    c = c2 // 2
+
+    # ---- stage 1: dynamic conv + bias, * gamma (h1 rows at orig
+    # ri*th - 9 + r1, packed col pair jo1 = c1 - 1)
+    acc = _tap_conv(band, w2_ref[0], rows1, cols1, c2, row0=0, col0=6)
+    acc = (acc + b2_ref[0, 0].astype(jnp.float32)) * g_ref[0, 0].astype(jnp.float32)
+    acc = acc.reshape(rows1, cols1, c2)
+
+    # ---- partition side path: 3 block-diag 1x1 matmuls, lane-gated
+    xc = band[1 : 1 + rows1, 7 : 7 + cols1].reshape(rows1 * cols1, c2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows1, cols1, c2), 2)
+    for r in range(3):
+        y_r = jnp.dot(
+            xc, pk_ref[0, r], preferred_element_type=jnp.float32
+        ).reshape(rows1, cols1, c2)
+        ge = parband[1 : 1 + rows1, 7 : 7 + cols1, r : r + 1].astype(jnp.float32)
+        go = parband[1 : 1 + rows1, 7 : 7 + cols1, 3 + r : 4 + r].astype(jnp.float32)
+        gate = jnp.where(lane < c, ge, go)
+        acc = acc + y_r * gate
+
+    h1 = jnp.maximum(acc, 0.0)
+
+    # ---- zero out-of-image stage-1 positions (conv1 'same' zero padding)
+    grow = jax.lax.broadcasted_iota(jnp.int32, (rows1, cols1, c2), 0) + ri * th - 9
+    gcol = (
+        2 * jax.lax.broadcasted_iota(jnp.int32, (rows1, cols1, c2), 1)
+        - 2
+        + (lane >= c).astype(jnp.int32)
+    )
+    valid = (grow >= 0) & (grow < h) & (gcol >= 0) & (gcol < w)
+    hmid[:] = jnp.where(valid, h1, 0.0).astype(hmid.dtype)
+
+    # ---- stage 2: plain conv1 over hmid + residual, PF-masked output
+    out = _tap_conv(hmid, w1_ref[0], th, cols2, c2)
+    out = out + b1_ref[0, 0].astype(jnp.float32)
+    resid = band[2 : 2 + th, 8 : 8 + cols2].reshape(th * cols2, c2).astype(jnp.float32)
+    out = (resid + out).reshape(th, cols2, c2)
+
+    orow = jax.lax.broadcasted_iota(jnp.int32, (th, cols2, c2), 0) + ri * th - PAD_R
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (th, cols2, c2), 2)
+    ocol = 2 * jax.lax.broadcasted_iota(jnp.int32, (th, cols2, c2), 1) + (
+        lane2 >= c
+    ).astype(jnp.int32)
+    ovalid = (orow >= 0) & (orow < h) & (ocol < w)
+    o_ref[0, :, 0:PAD_C] = jnp.zeros((th, PAD_C, c2), o_ref.dtype)
+    o_ref[0, :, PAD_C : PAD_C + cols2] = jnp.where(ovalid, out, 0.0).astype(o_ref.dtype)
+    o_ref[0, :, PAD_C + cols2 :] = jnp.zeros(
+        (th, o_ref.shape[2] - PAD_C - cols2, c2), o_ref.dtype
+    )
+
+
+def _drt_block_pf(
+    xpf, parpf, w2, b2, pk, w1, b1, g, *, th, h, w, cols1, cols2
+):
+    b, HP, WP, c2 = xpf.shape
+    kernel = functools.partial(
+        _kernel, th=th, c2=c2, h=h, w=w, cols1=cols1, cols2=cols2
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, HP // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 3, 3, c2, c2), lambda bi, ri: (bi, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c2), lambda bi, ri: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, c2, c2), lambda bi, ri: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 3, c2, c2), lambda bi, ri: (bi, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c2), lambda bi, ri: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c2), lambda bi, ri: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, WP, c2), lambda bi, ri: (bi, ri, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, HP, WP, c2), xpf.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 4, WP, c2), xpf.dtype),
+            pltpu.VMEM((2, th + 4, WP, parpf.shape[-1]), parpf.dtype),
+            pltpu.VMEM((th + 2, cols1, c2), xpf.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(xpf, parpf, w2, b2, pk, w1, b1, g)
+
+
+def _pack_pk(par_kernel):
+    """(c, 3, c) -> (3, 2c, 2c) block-diagonal packed 1x1 kernels."""
+    c = par_kernel.shape[0]
+    out = jnp.zeros((3, 2 * c, 2 * c), par_kernel.dtype)
+    for r in range(3):
+        out = out.at[r, 0:c, 0:c].set(par_kernel[:, r])
+        out = out.at[r, c:, c:].set(par_kernel[:, r])
+    return out
+
+
+def _block_params_packed(blk, b, c2, dtype):
+    """Pack one block's parameters for the kernel. Matmul weights are cast
+    to the feature dtype (as the XLA composition does), biases/gamma stay
+    fp32 (added/multiplied on the fp32 accumulator)."""
+    w2 = jax.vmap(pack_conv3x3_kernel_per_tap)(blk["dyn_kernels"]).astype(dtype)
+    b2 = jnp.concatenate([blk["dyn_biases"]] * 2, -1).reshape(b, 1, c2)
+    g = jnp.concatenate([blk["gamma"]] * 2, -1).reshape(b, 1, c2)
+    pk = jnp.broadcast_to(
+        _pack_pk(blk["par_kernel"].astype(dtype))[None], (b, 3, c2, c2)
+    )
+    w1 = jnp.broadcast_to(
+        pack_conv3x3_kernel_per_tap(blk["conv1_kernel"].astype(dtype))[None],
+        (b, 3, 3, c2, c2),
+    )
+    b1 = jnp.broadcast_to(
+        jnp.concatenate([blk["conv1_bias"]] * 2).reshape(1, 1, c2), (b, 1, c2)
+    )
+    return w2, b2, pk, w1, b1, g
+
+
+@functools.partial(jax.jit, static_argnames=("th",))
+def drt_stack_packed(x, par, blocks, th: int = 16):
+    """Run N chained DRT blocks with one pack / one unpack.
+
+    Args:
+      x: (b, h, w, c) block-stack input (even w).
+      par: (b, h, w, 3) partition map.
+      blocks: sequence of dicts with keys dyn_kernels (b,3,3,c,c),
+        dyn_biases (b,c), par_kernel (c,3,c), conv1_kernel (3,3,c,c),
+        conv1_bias (c,), gamma (b,c) — one per block.
+      th: row-tile height (HP % th == 0 is arranged internally).
+    """
+    b, h, w, c = x.shape
+    HP, _, _, cols1, cols2 = pf_geometry(h, w, th)
+    if HP // th < 2:
+        raise ValueError(f"need >= 2 row tiles, got h={h}, th={th}")
+    c2 = 2 * c
+    xpf = pack_pf(x, th)
+    parpf = par_to_pf(par, th).astype(x.dtype)
+    for blk in blocks:
+        w2, b2, pk, w1, b1, g = _block_params_packed(blk, b, c2, x.dtype)
+        xpf = _drt_block_pf(
+            xpf, parpf, w2, b2, pk, w1, b1, g,
+            th=th, h=h, w=w, cols1=cols1, cols2=cols2,
+        )
+    return unpack_pf(xpf, h, w)

@@ -90,7 +90,57 @@ class DRTBlock(nn.Module):
     use_pallas: bool = False
     pallas_th: int = 16
 
-    @nn.compact
+    def setup(self):
+        c = self.mid_channels
+        self.par_kernel = self.param(
+            "par_kernel", scaled_kaiming_normal(0.1), (c, 3, c)
+        )
+        if self.use_dynamic:
+            self.conv2_bank = _ExpertBank(
+                channels=c, num_experts=self.num_experts, name="conv2"
+            )
+        else:
+            self.conv2_kernel = self.param(
+                "conv2_kernel", scaled_kaiming_normal(0.1), (3, 3, c, c)
+            )
+            self.conv2_bias = self.param("conv2_bias", nn.initializers.zeros, (c,))
+        if self.one_layer:
+            self.conv1_kernel = self.param(
+                "conv1_kernel", scaled_kaiming_normal(0.1), (3, 3, c, c)
+            )
+            self.conv1_bias = self.param("conv1_bias", nn.initializers.zeros, (c,))
+        else:
+            self.conv1_bank = _ExpertBank(
+                channels=c, num_experts=self.num_experts, name="conv1"
+            )
+
+    def _mixed_conv2(self, weights, b):
+        c = self.mid_channels
+        if self.use_dynamic:
+            bank, bias_bank = self.conv2_bank()
+            return mix_expert_kernels(weights, bank, bias_bank)
+        dyn_kernels = jnp.broadcast_to(self.conv2_kernel[None], (b, 3, 3, c, c))
+        dyn_biases = jnp.broadcast_to(self.conv2_bias[None], (b, c))
+        return dyn_kernels, dyn_biases
+
+    def packed_inputs(self, weights, gamma) -> dict:
+        """Per-block parameter dict for the chained PF kernel
+        (kernels.drt_stack.drt_stack_packed). Only valid for the fast-path
+        configuration (one_layer, channel_first, res_scale=1)."""
+        b = weights.shape[0]
+        c = self.mid_channels
+        dyn_kernels, dyn_biases = self._mixed_conv2(weights, b)
+        se_gamma = gamma if (self.with_se and self.use_dynamic) else None
+        g = se_gamma if se_gamma is not None else jnp.ones((b, c), jnp.float32)
+        return dict(
+            dyn_kernels=dyn_kernels,
+            dyn_biases=dyn_biases,
+            par_kernel=self.par_kernel,
+            conv1_kernel=self.conv1_kernel,
+            conv1_bias=self.conv1_bias,
+            gamma=g,
+        )
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -101,28 +151,15 @@ class DRTBlock(nn.Module):
         c = self.mid_channels
         b = x.shape[0]
 
-        par_kernel = self.param("par_kernel", scaled_kaiming_normal(0.1), (c, 3, c))
-        if self.use_dynamic:
-            bank, bias_bank = _ExpertBank(
-                channels=c, num_experts=self.num_experts, name="conv2"
-            )()
-            dyn_kernels, dyn_biases = mix_expert_kernels(weights, bank, bias_bank)
-        else:
-            k2 = self.param("conv2_kernel", scaled_kaiming_normal(0.1), (3, 3, c, c))
-            b2 = self.param("conv2_bias", nn.initializers.zeros, (c,))
-            dyn_kernels = jnp.broadcast_to(k2[None], (b, 3, 3, c, c))
-            dyn_biases = jnp.broadcast_to(b2[None], (b, c))
+        par_kernel = self.par_kernel
+        dyn_kernels, dyn_biases = self._mixed_conv2(weights, b)
         se_gamma = gamma if (self.with_se and self.use_dynamic) else None
 
         if self.one_layer:
-            conv1_kernel = self.param(
-                "conv1_kernel", scaled_kaiming_normal(0.1), (3, 3, c, c)
-            )
-            conv1_bias = self.param("conv1_bias", nn.initializers.zeros, (c,))
+            conv1_kernel = self.conv1_kernel
+            conv1_bias = self.conv1_bias
         else:
-            c1_bank, c1_bias_bank = _ExpertBank(
-                channels=c, num_experts=self.num_experts, name="conv1"
-            )()
+            c1_bank, c1_bias_bank = self.conv1_bank()
 
         if (
             self.use_pallas
@@ -212,8 +249,8 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
             (self.out_channels,),
         )
         feat = nn.leaky_relu(conv2d_nhwc(x, kernel, bias), negative_slope=0.1)
-        for i in range(self.num_blocks):
-            feat = DRTBlock(
+        blocks = [
+            DRTBlock(
                 mid_channels=self.out_channels,
                 num_experts=self.num_experts,
                 with_se=self.with_se,
@@ -223,5 +260,27 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
                 use_pallas=self.use_pallas,
                 pallas_th=self.pallas_th,
                 name=f"block{i}",
-            )(feat, par, weights, gamma)
+            )
+            for i in range(self.num_blocks)
+        ]
+
+        h, w = feat.shape[1], feat.shape[2]
+        th = self.pallas_th
+        hp = -(-(h + 16) // th) * th
+        if (
+            self.use_pallas
+            and self.one_layer
+            and self.channel_first
+            and w % 2 == 0
+            and hp // th >= 2
+        ):
+            # chained PF kernels: one pack, N fused blocks, one unpack —
+            # no per-block XLA pads/reshapes (kernels/drt_stack.py)
+            from pnp_vcve_tpu.kernels.drt_stack import drt_stack_packed
+
+            params = [blk.packed_inputs(weights, gamma) for blk in blocks]
+            return drt_stack_packed(feat, par, params, th=th)
+
+        for blk in blocks:
+            feat = blk(feat, par, weights, gamma)
         return feat

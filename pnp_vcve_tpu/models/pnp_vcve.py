@@ -43,6 +43,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from pnp_vcve_tpu.models.alignment import (
+    BasicDeformableAlignment,
+    FVCDeformableAlignment,
+)
 from pnp_vcve_tpu.models.caa import BasePredictor, BiasPredictor, SEModule
 from pnp_vcve_tpu.models.bae import ResidualBlocksWithInputConvDynamicDRT
 from pnp_vcve_tpu.models.init import torch_conv_default, torch_conv_bias_default
@@ -105,6 +109,30 @@ class _BackwardStep(nn.Module):
     flow_interpolation: str
     use_dynamic: bool = True
     use_pallas: bool = False
+    deform: str = "vos"
+    deform_groups: int = 16
+
+    def _align(self, feat, flow):
+        """Keyframe aligner (reference self.deform_align, iconvsr_ipb.py:19-28).
+        NOTE: the reference shares ONE aligner module between the backward and
+        forward sweeps; here each sweep owns its params (flax scan scoping) and
+        the checkpoint converter writes the reference weights into both."""
+        if self.deform == "vos":
+            return flow_warp(feat, flow, self.flow_interpolation)
+        if self.deform == "basic":
+            return BasicDeformableAlignment(
+                channels=self.mid_channels,
+                deform_groups=self.deform_groups,
+                flow_interpolation=self.flow_interpolation,
+                name="deform_align",
+            )(feat, flow)
+        if self.deform == "fvc":
+            return FVCDeformableAlignment(
+                channels=self.mid_channels,
+                deform_groups=self.deform_groups,
+                name="deform_align",
+            )(feat, flow)
+        raise ValueError(f"No such DCN type: {self.deform!r}")
 
     @nn.compact
     def __call__(self, carry, xs):
@@ -113,17 +141,17 @@ class _BackwardStep(nn.Module):
         # store is needed (the reference keeps a Python list; a carried
         # buffer costs a full copy per step under XLA).
         prev_out, last_key, prev_was_key = carry
-        is_first, lr, flow, par, weights, gamma, is_key = xs
+        lr, flow, par, weights, gamma, is_key = xs
 
-        key_warp = flow_warp(last_key, flow, self.flow_interpolation)
+        # At the first scan step the carry is all-zeros and warp(0) == 0, so
+        # no first-step masking is needed (the reference's i==t-1/i==0 zero
+        # features, iconvsr_ipb_par.py:77-79, fall out of the zero carry).
+        key_warp = self._align(last_key, flow)
         neighbor = prev_out
         if self.align_key:
             neighbor = jnp.where(
                 prev_was_key[:, None, None, None], key_warp, neighbor
             )
-        zero = jnp.zeros((), prev_out.dtype)
-        key_warp = jnp.where(is_first, zero, key_warp)
-        neighbor = jnp.where(is_first, zero, neighbor)
 
         if self.with_cat:
             feat = jnp.concatenate([lr, key_warp, neighbor], axis=-1)
@@ -163,21 +191,22 @@ class _ForwardStep(nn.Module):
     vsr: bool
     use_dynamic: bool = True
     use_pallas: bool = False
+    deform: str = "vos"
+    deform_groups: int = 16
+
+    _align = _BackwardStep._align
 
     @nn.compact
     def __call__(self, carry, xs):
         prev_out, last_key, prev_was_key = carry
-        is_first, lr, flow, par, weights, gamma, is_key, cur = xs
+        lr, flow, par, weights, gamma, is_key, cur = xs
 
-        key_warp = flow_warp(last_key, flow, self.flow_interpolation)
+        key_warp = self._align(last_key, flow)
         neighbor = prev_out
         if self.align_key:
             neighbor = jnp.where(
                 prev_was_key[:, None, None, None], key_warp, neighbor
             )
-        zero = jnp.zeros((), prev_out.dtype)
-        key_warp = jnp.where(is_first, zero, key_warp)
-        neighbor = jnp.where(is_first, zero, neighbor)
 
         if self.with_cat:
             feat = jnp.concatenate([lr, key_warp, neighbor, cur], axis=-1)
@@ -245,6 +274,8 @@ class PnPVCVE(nn.Module):
     blocktype: str = "drt"  # 'drt' | 'drt_woqp' (plain conv2)
     se_reduction: int = 16
     flow_interpolation: str = "bilinear"
+    deform: str = "vos"  # 'vos' | 'basic' | 'fvc' (reference iconvsr_ipb.py:19-28)
+    deform_groups: int = 16
     use_pallas_kernels: bool = False
     remat: bool = True
     feature_dtype: jnp.dtype = jnp.float32
@@ -260,11 +291,21 @@ class PnPVCVE(nn.Module):
         par_map: jnp.ndarray,
         is_mirror_extended: bool = False,
     ) -> jnp.ndarray:
+        b, t, h_in, w_in, _ = lrs.shape
+        # Spatial padding to x4 (reference spatial_padding, iconvsr.py:371-394:
+        # reflect-pad lrs bottom/right). The reference pads ONLY lrs — its MV
+        # path would size-mismatch in flow_warp on non-/4 input and it never
+        # crops the output (iconvsr_ipb_par.py:54,147), so this is the sane
+        # extension: zero-pad the bitstream priors (zero motion, no partition)
+        # and crop the output back. Makes KITTI's 375x1242 frames runnable.
+        pad_h = (4 - h_in % 4) % 4
+        pad_w = (4 - w_in % 4) % 4
+        if pad_h or pad_w:
+            sp = ((0, 0), (0, 0), (0, pad_h), (0, pad_w), (0, 0))
+            lrs = jnp.pad(lrs, sp, mode="reflect")
+            mvs = jnp.pad(mvs, sp)
+            par_map = jnp.pad(par_map, sp)
         b, t, h, w, _ = lrs.shape
-        if h % 4 or w % 4:
-            # the reference reflect-pads to x4 (iconvsr.py:371-394) but its MV
-            # path only ever sees x4-divisible inputs; we require it up front.
-            raise ValueError(f"Input spatial size must be divisible by 4, got {h}x{w}")
         c = self.mid_channels
 
         used_qps = base_qps if self.use_base_qp else qps
@@ -299,8 +340,6 @@ class PnPVCVE(nn.Module):
         dtype = self.feature_dtype
         lrs_c = lrs.astype(dtype)
 
-        is_first = jnp.zeros((t,), bool).at[0].set(True)
-
         common = dict(
             mid_channels=c,
             num_blocks=self.num_blocks,
@@ -313,6 +352,8 @@ class PnPVCVE(nn.Module):
             flow_interpolation=self.flow_interpolation,
             use_dynamic=self.blocktype == "drt",
             use_pallas=self.use_pallas_kernels,
+            deform=self.deform,
+            deform_groups=self.deform_groups,
         )
 
         scan_kwargs = dict(
@@ -338,7 +379,6 @@ class PnPVCVE(nn.Module):
         # forward step i with mvs[:, i, ..., 0:2] (the reference's shifted
         # flows_forward[:, i-1] equals mvs[:, i] directly, iconvsr_ipb.py:33-46)
         xs_bwd = (
-            is_first,
             tfirst(lrs_c)[rev],
             tfirst(flows_bwd.astype(dtype))[rev],
             tfirst(par_map.astype(dtype))[rev],
@@ -350,7 +390,6 @@ class PnPVCVE(nn.Module):
         bwd_feats = bwd_feats[rev]  # back to time order, (t, b, h, w, c)
 
         xs_fwd = (
-            is_first,
             tfirst(lrs_c),
             tfirst(flows_fwd.astype(dtype)),
             tfirst(par_map.astype(dtype)),
@@ -361,4 +400,8 @@ class PnPVCVE(nn.Module):
         )
         _, ys = fwd(carry0, xs_fwd)
 
-        return jnp.moveaxis(ys, 0, 1).astype(jnp.float32)
+        ys = jnp.moveaxis(ys, 0, 1).astype(jnp.float32)
+        if pad_h or pad_w:
+            s = 4 if self.vsr else 1
+            ys = ys[:, :, : s * h_in, : s * w_in]
+        return ys

@@ -29,7 +29,12 @@ from pnp_vcve_tpu.metrics import tensor2img
 from pnp_vcve_tpu.models.restorer import Restorer, average_clip_metrics
 from pnp_vcve_tpu.train.train_step import make_eval_step
 
-__all__ = ["evaluate_dataset", "enhance_clip", "enhance_clip_frame_parallel"]
+__all__ = [
+    "evaluate_dataset",
+    "enhance_clip",
+    "enhance_clip_frame_parallel",
+    "is_mirror_extended",
+]
 
 
 def _save_frames(frames_u8: np.ndarray, clip_name: str, save_path: str):
@@ -37,6 +42,16 @@ def _save_frames(frames_u8: np.ndarray, clip_name: str, save_path: str):
     out_dir.mkdir(parents=True, exist_ok=True)
     for i, f in enumerate(frames_u8):
         Image.fromarray(f).save(out_dir / f"{i:08d}.png")
+
+
+def is_mirror_extended(lq: np.ndarray) -> bool:
+    """Host-side mirror-extension check (reference check_if_mirror_extended,
+    basicvsr_net.py:69-83): the i-th frame equals the (t-1-i)-th."""
+    t = lq.shape[0]
+    if t % 2:
+        return False
+    half = np.asarray(lq[: t // 2])
+    return bool(np.array_equal(half, np.asarray(lq[::-1][: t // 2])))
 
 
 def enhance_clip(eval_step, params, sample: dict, chunk_t: Optional[int] = None):
@@ -47,13 +62,15 @@ def enhance_clip(eval_step, params, sample: dict, chunk_t: Optional[int] = None)
         if not chunk_t or chunk_t >= t
         else [(s, min(s + chunk_t, t)) for s in range(0, t, chunk_t)]
     )
+    mirror = len(spans) == 1 and is_mirror_extended(sample["lq"])
     outs = []
     for s, e in spans:
         batch = {
             k: np.asarray(sample[k][s:e])[None]
             for k in ("lq", "qps", "slices", "mvs", "base_qps", "partitions")
         }
-        outs.append(np.asarray(jax.device_get(eval_step(params, batch))[0]))
+        kw = {"is_mirror_extended": True} if mirror else {}
+        outs.append(np.asarray(jax.device_get(eval_step(params, batch, **kw))[0]))
     return np.concatenate(outs, axis=0)
 
 

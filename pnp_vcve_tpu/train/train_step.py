@@ -76,10 +76,16 @@ def make_train_step(
 
 
 def make_eval_step(model, is_mirror_extended: bool = False):
-    """Build the jitted eval forward: (params, batch) -> enhanced frames."""
+    """Build the jitted eval forward: (params, batch) -> enhanced frames.
 
-    @partial(jax.jit, static_argnames=())
-    def eval_step(params, batch):
+    ``is_mirror_extended`` may also be passed per call (host-detected from
+    the clip, reference check_if_mirror_extended basicvsr_net.py:69-83);
+    each value compiles its own specialization."""
+
+    default_mirror = is_mirror_extended
+
+    @partial(jax.jit, static_argnames=("is_mirror_extended",))
+    def eval_step(params, batch, is_mirror_extended=default_mirror):
         return model.apply(
             {"params": params},
             **_model_inputs(batch),

@@ -79,3 +79,63 @@ def test_evaluate_clip_protocol():
     perfect = r.evaluate_clip(gt, gt)
     assert perfect["PSNR"] == float("inf")
     assert perfect["SSIM"] == pytest.approx(1.0)
+
+
+def test_builder_accepts_all_deform_types():
+    """deform='vos'/'basic'/'fvc' all build (reference iconvsr_ipb.py:19-28);
+    'stdf' raises like the reference."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from pnp_vcve_tpu.core.builder import BACKBONES
+
+    rng = np.random.default_rng(0)
+    b, t, h, w = 1, 2, 16, 16
+    args = (
+        jnp.asarray(rng.random((b, t, h, w, 3), np.float32)),
+        jnp.asarray(rng.random((b, t), np.float32)),
+        jnp.full((b, t), 73.0),
+        jnp.asarray(rng.standard_normal((b, t, h, w, 4)).astype(np.float32)),
+        jnp.full((b, t), 15.0 / 255.0),
+        jnp.zeros((b, t, h, w, 3)),
+    )
+    for deform in ("vos", "basic", "fvc"):
+        model = BACKBONES.build(
+            dict(
+                type="IconVSR_restore_wo_refill_mv_ipb_fast_domain_dynamic_with_par",
+                mid_channels=8, num_blocks=1, num_experts=2, deform=deform,
+                deform_groups=2,
+            )
+        )
+        params = model.init(jax.random.PRNGKey(0), *args)
+        out = model.apply(params, *args)
+        assert out.shape == (b, t, h, w, 3)
+        assert np.isfinite(np.asarray(out)).all()
+        if deform != "vos":
+            flat = jax.tree_util.tree_flatten_with_path(params)[0]
+            assert any("deform_align" in jax.tree_util.keystr(kp) for kp, _ in flat)
+
+    with pytest.raises(NotImplementedError):
+        BACKBONES.build(
+            dict(
+                type="IconVSR_restore_wo_refill_mv_ipb_fast_domain_dynamic_with_par",
+                deform="stdf",
+            )
+        )
+
+
+def test_builder_tdan():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_vcve_tpu.core.builder import BACKBONES
+
+    model = BACKBONES.build(dict(type="TDANNet", mid_channels=8,
+                                 num_blocks_before_align=1, num_blocks_after_align=1))
+    lrs = jnp.asarray(np.random.default_rng(0).random((1, 5, 16, 16, 3), np.float32))
+    params = model.init(jax.random.PRNGKey(0), lrs)
+    out = model.apply(params, lrs)
+    assert out[0].shape if isinstance(out, tuple) else out.shape

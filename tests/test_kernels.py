@@ -176,3 +176,86 @@ def test_drt_block_packed_boundaries(rng):
     expected = drt_reference(x, par, dyn_k, dyn_b, par_k, c1_k, c1_b, gamma)
     got = drt_block_packed(x, par, dyn_k, dyn_b, par_k, c1_k, c1_b, gamma, th=8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=3e-5, rtol=1e-4)
+
+
+def test_drt_stack_packed_matches_composition(rng):
+    """N chained PF blocks == N applications of the reference composition."""
+    from pnp_vcve_tpu.kernels.drt_stack import drt_stack_packed
+
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    par = jnp.asarray((rng.random((B, H, W, 3)) > 0.5).astype(np.float32) / 255.0)
+
+    blocks = []
+    expected = x
+    for _ in range(3):
+        blk = dict(
+            dyn_kernels=jnp.asarray(
+                rng.standard_normal((B, 3, 3, C, C)).astype(np.float32) * 0.1
+            ),
+            dyn_biases=jnp.asarray(rng.standard_normal((B, C)).astype(np.float32) * 0.1),
+            par_kernel=jnp.asarray(
+                rng.standard_normal((C, 3, C)).astype(np.float32) * 0.1
+            ),
+            conv1_kernel=jnp.asarray(
+                rng.standard_normal((3, 3, C, C)).astype(np.float32) * 0.1
+            ),
+            conv1_bias=jnp.asarray(rng.standard_normal((C,)).astype(np.float32) * 0.1),
+            gamma=jnp.asarray(rng.random((B, C)).astype(np.float32)),
+        )
+        blocks.append(blk)
+        expected = drt_reference(
+            expected, par, blk["dyn_kernels"], blk["dyn_biases"], blk["par_kernel"],
+            blk["conv1_kernel"], blk["conv1_bias"], blk["gamma"],
+        )
+
+    got = drt_stack_packed(x, par, blocks, th=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-4, rtol=1e-4)
+
+
+def test_drt_stack_packed_odd_height(rng):
+    """h not divisible by th (edge tiles + PF zero maintenance)."""
+    from pnp_vcve_tpu.kernels.drt_stack import drt_stack_packed
+
+    x = jnp.asarray(rng.standard_normal((1, 20, 12, C)).astype(np.float32))
+    par = jnp.asarray(rng.random((1, 20, 12, 3)).astype(np.float32))
+    blk = dict(
+        dyn_kernels=jnp.asarray(rng.standard_normal((1, 3, 3, C, C)).astype(np.float32) * 0.1),
+        dyn_biases=jnp.asarray(rng.standard_normal((1, C)).astype(np.float32) * 0.1),
+        par_kernel=jnp.asarray(rng.standard_normal((C, 3, C)).astype(np.float32) * 0.1),
+        conv1_kernel=jnp.asarray(rng.standard_normal((3, 3, C, C)).astype(np.float32) * 0.1),
+        conv1_bias=jnp.asarray(rng.standard_normal((C,)).astype(np.float32) * 0.1),
+        gamma=jnp.asarray(rng.random((1, C)).astype(np.float32)),
+    )
+    expected = drt_reference(
+        x, par, blk["dyn_kernels"], blk["dyn_biases"], blk["par_kernel"],
+        blk["conv1_kernel"], blk["conv1_bias"], blk["gamma"],
+    )
+    got = drt_stack_packed(x, par, [blk, blk], th=8)
+    expected = drt_reference(
+        expected, par, blk["dyn_kernels"], blk["dyn_biases"], blk["par_kernel"],
+        blk["conv1_kernel"], blk["conv1_bias"], blk["gamma"],
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-4, rtol=1e-4)
+
+
+def test_model_pallas_stack_path_matches_xla(rng):
+    """Full flagship forward with use_pallas_kernels=True (the chained PF
+    stack) equals the plain XLA path."""
+    from pnp_vcve_tpu.models import PnPVCVE
+
+    b, t, h, w = 1, 3, 24, 16
+    lrs = jnp.asarray(rng.random((b, t, h, w, 3), np.float32))
+    qps = jnp.asarray(rng.random((b, t), np.float32))
+    slices = jnp.asarray(np.where(rng.random((b, t)) < 0.5, 73.0, 66.0))
+    mvs = jnp.asarray(rng.standard_normal((b, t, h, w, 4)).astype(np.float32))
+    base_qps = jnp.full((b, t), 15.0 / 255.0)
+    par = jnp.asarray((rng.random((b, t, h, w, 3)) > 0.5).astype(np.float32) / 255.0)
+
+    kw = dict(mid_channels=8, num_blocks=2, num_experts=2, remat=False)
+    ref_model = PnPVCVE(**kw, use_pallas_kernels=False)
+    params = ref_model.init(jax.random.PRNGKey(0), lrs, qps, slices, mvs, base_qps, par)
+    expected = ref_model.apply(params, lrs, qps, slices, mvs, base_qps, par)
+
+    pallas_model = PnPVCVE(**kw, use_pallas_kernels=True)
+    got = pallas_model.apply(params, lrs, qps, slices, mvs, base_qps, par)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4, rtol=1e-4)

@@ -231,3 +231,51 @@ def test_drt_woqp_block(inputs):
     names = [jax.tree_util.keystr(p) for p, _ in flat]
     assert not any("bank" in n for n in names)
     assert any("conv2_kernel" in n for n in names)
+
+
+def test_spatial_padding_non_div4():
+    """Non-/4 inputs (e.g. KITTI 375x1242) run via reflect pad + crop
+    (reference spatial_padding, iconvsr.py:371-394)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    b, t, h, w = 1, 2, 22, 30
+    model = PnPVCVE(mid_channels=8, num_blocks=1, num_experts=2, remat=False)
+    args = (
+        jnp.asarray(rng.random((b, t, h, w, 3), np.float32)),
+        jnp.asarray(rng.random((b, t), np.float32)),
+        jnp.full((b, t), 73.0),
+        jnp.asarray(rng.standard_normal((b, t, h, w, 4)).astype(np.float32)),
+        jnp.full((b, t), 15.0 / 255.0),
+        jnp.zeros((b, t, h, w, 3)),
+    )
+    params = model.init(jax.random.PRNGKey(0), *args)
+    out = model.apply(params, *args)
+    assert out.shape == (b, t, h, w, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # padded-then-cropped equals itself when already /4 (no-op check)
+    h4, w4 = 24, 32
+    args4 = (
+        jnp.asarray(rng.random((b, t, h4, w4, 3), np.float32)),
+        args[1], args[2],
+        jnp.asarray(rng.standard_normal((b, t, h4, w4, 4)).astype(np.float32)),
+        args[4],
+        jnp.zeros((b, t, h4, w4, 3)),
+    )
+    params4 = model.init(jax.random.PRNGKey(0), *args4)
+    out4 = model.apply(params4, *args4)
+    assert out4.shape == (b, t, h4, w4, 3)
+
+
+def test_mirror_extension_detection():
+    import numpy as np
+
+    from pnp_vcve_tpu.train.eval import is_mirror_extended
+
+    rng = np.random.default_rng(0)
+    half = rng.random((3, 8, 8, 3), np.float32)
+    mirrored = np.concatenate([half, half[::-1]], axis=0)
+    assert is_mirror_extended(mirrored)
+    assert not is_mirror_extended(rng.random((6, 8, 8, 3), np.float32))
+    assert not is_mirror_extended(rng.random((5, 8, 8, 3), np.float32))
