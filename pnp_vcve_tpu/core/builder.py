@@ -111,13 +111,35 @@ def _build_mfqev2(**kwargs):
 
 
 @BACKBONES.register(name="BasicVSRPlusPlusPQF", aliases=("BasicVSRPlusPlus_PQF",))
-def _build_bvpp_pqf(**kwargs):
+def _build_bvpp_pqf(variant: str = "base", **kwargs):
     from pnp_vcve_tpu.models.baselines.basicvsr_pp import BasicVSRPlusPlusPQF
 
     known = {k: v for k, v in kwargs.items() if k in (
         "mid_channels", "num_blocks", "max_residue_magnitude",
         "is_low_res_input", "deform_groups")}
-    return BasicVSRPlusPlusPQF(**known)
+    return BasicVSRPlusPlusPQF(variant=variant, **known)
+
+
+# variant family (reference basicvsr_pp_v2.py:395/504/630)
+@BACKBONES.register(name="BasicVSRPlusPlusPQFv2", aliases=("BasicVSRPlusPlus_PQF_v2",))
+def _build_bvpp_pqf_v2(**kwargs):
+    return _build_bvpp_pqf(variant="v2", **kwargs)
+
+
+@BACKBONES.register(
+    name="BasicVSRPlusPlusPQFv2WithBSkip",
+    aliases=("BasicVSRPlusPlus_PQF_v2_withB_skip",),
+)
+def _build_bvpp_pqf_v2_withb(**kwargs):
+    return _build_bvpp_pqf(variant="v2_withB_skip", **kwargs)
+
+
+@BACKBONES.register(
+    name="BasicVSRPlusPlusPQFv2OnlyBSkip",
+    aliases=("BasicVSRPlusPlus_PQF_v2_onlyB_skip",),
+)
+def _build_bvpp_pqf_v2_onlyb(**kwargs):
+    return _build_bvpp_pqf(variant="v2_onlyB_skip", **kwargs)
 
 
 @BACKBONES.register(name="DCNGANNet", aliases=("DCNGAN_Net",))
@@ -175,6 +197,23 @@ def _build_mwgan(**kwargs):
 
 def build_generator(cfg: dict):
     return BACKBONES.build(cfg)
+
+
+# --- discriminators (reference COMPONENTS registry) -----------------------
+
+COMPONENTS = Registry("components")
+
+
+@COMPONENTS.register(name="DCNGANDiscriminator", aliases=("Discriminator_UNet", "NLayerDiscriminator"))
+def _build_dcngan_disc(**kwargs):
+    from pnp_vcve_tpu.models.baselines.dcngan import DCNGANDiscriminator
+
+    known = {k: v for k, v in kwargs.items() if k in ("d",)}
+    return DCNGANDiscriminator(**known)
+
+
+def build_discriminator(cfg: dict):
+    return COMPONENTS.build(cfg)
 
 
 @MODELS.register(name="Restorer", aliases=("BasicVSR", "BasicRestorer"))

@@ -167,3 +167,10 @@ def ssim(img1, img2, crop_border: int = 0, input_order: str = "HWC") -> float:
         img2 = img2[crop_border:-crop_border, crop_border:-crop_border]
     vals = [_ssim_single(img1[..., i], img2[..., i]) for i in range(img1.shape[2])]
     return float(np.mean(vals))
+
+
+def l1_evaluation(img1, img2, crop_border: int = 0, input_order: str = "HWC") -> float:
+    """L1 between prediction and gt on [0,1]-normalized images — the
+    reference's ``L1Evaluation`` metric (mmedit/core/evaluation/
+    metrics.py:358-378, unweighted 'mean' reduction path)."""
+    return mae(img1, img2, crop_border=crop_border, input_order=input_order)

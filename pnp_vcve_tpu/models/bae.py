@@ -233,11 +233,17 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x: jnp.ndarray,
+        x,
         par: jnp.ndarray,
         weights: jnp.ndarray,
         gamma: Optional[jnp.ndarray],
     ) -> jnp.ndarray:
+        """``x``: (b,h,w,cin) array, or a SEQUENCE of arrays whose channels
+        sum to ``in_channels`` — conv(concat(parts)) is computed as
+        sum(conv_i(part_i)), which skips materializing the concat (measured
+        16-25 ms/frame at 720p when the operands carry gather-dictated
+        layouts; the parameter stays ONE (3,3,cin,cout) kernel, checkpoint-
+        compatible, sliced per part)."""
         kernel = self.param(
             "input_conv_kernel",
             torch_conv_default,
@@ -248,7 +254,30 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
             torch_conv_bias_default(9 * self.in_channels),
             (self.out_channels,),
         )
-        feat = nn.leaky_relu(conv2d_nhwc(x, kernel, bias), negative_slope=0.1)
+        if isinstance(x, (tuple, list)):
+            import jax
+
+            acc = None
+            off = 0
+            for part in x:
+                cin = part.shape[-1]
+                term = jax.lax.conv_general_dilated(
+                    part,
+                    kernel[:, :, off : off + cin, :].astype(part.dtype),
+                    (1, 1),
+                    "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = term if acc is None else acc + term
+                off += cin
+            if off != self.in_channels:
+                raise ValueError(f"parts sum to {off} channels, expected {self.in_channels}")
+            dtype = x[0].dtype
+            feat = nn.leaky_relu(acc + bias, negative_slope=0.1).astype(dtype)
+            x = None
+        else:
+            feat = nn.leaky_relu(conv2d_nhwc(x, kernel, bias), negative_slope=0.1)
         blocks = [
             DRTBlock(
                 mid_channels=self.out_channels,

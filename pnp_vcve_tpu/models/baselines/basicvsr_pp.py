@@ -25,6 +25,21 @@ TPU-native redesign of the data-dependent parts:
 - The reference reads batch item 0's slice types for every batch item
   (basicvsr_pp_v2.py:213); we route per batch item.
 
+Variant family (the ``variant`` field):
+
+- ``'base'``  — BasicVSRPlusPlus_PQF (basicvsr_pp_v2.py:17-393): all four
+  branches PQF-guided, resample-style flow chain.
+- ``'v2'`` — :395-502: proper flow composition (``tmp + warp(acc, tmp)``).
+- ``'v2_withB_skip'`` — :504-628: branches 2 use vanilla BasicVSR++
+  second-order (lag-2 frame) instead of PQF guidance.
+- ``'v2_onlyB_skip'`` — :630-789: branches 2 key on B frames (slice 66).
+
+NOTE on ``basicvsr_pp_mv.py``: despite the name, the reference file is a
+verbatim copy of basicvsr_pp_v2.py plus a DEAD ``MV_Warp`` stub (empty
+forward, never instantiated) — verified by diff; there is no actual MV-fed
+propagation to port. The same classes registered there resolve to this
+module's variants.
+
 Layout: NHWC; flows (b, t-1, h, w, 2) in (dx, dy).
 """
 
@@ -110,33 +125,69 @@ class SecondOrderDeformableAlignment(nn.Module):
 
 
 class _PropagateStep(nn.Module):
+    """One scan step of a propagation branch.
+
+    Second-order carry design (reference basicvsr_pp_v2.py:200-257): the
+    reference rescans the key list per step for the most recent key at lag
+    >= 2 and composes the flow to it with a variable-length chain. Here:
+
+    - two slots track keys by lag: ``q`` holds frame i-2 (newly eligible
+      this step); (n2_feat, n2_chain, n2_valid) hold the most recent
+      ELIGIBLE key — q promotes into n2 when q is a key, which exactly
+      reproduces "first key at lag >= 2" even when a newer (lag-1) key
+      shadows an older eligible one;
+    - the chain updates in O(1) per step. ``flow_compose='resample'`` is the
+      base class's quirky warp-only fold with a final flow_n1 add
+      (basicvsr_pp_v2.py:225-237); 'compose' is the _v2 family's proper
+      ``flow_tmp + warp(acc, flow_tmp)`` fold (:445-472);
+    - ``second_order='plain'`` is vanilla BasicVSR++ (n2 = lag-2 frame
+      always, the branch-2 mode of _v2_withB_skip, :613-620).
+    """
+
     channels: int
     num_blocks: int
     deform_groups: int
     max_residue_magnitude: float
     n_prev: int  # number of previous-branch feature stacks consumed
+    flow_compose: str = "resample"  # 'resample' (base) | 'compose' (_v2)
+    second_order: str = "pqf"  # 'pqf' | 'plain'
 
     @nn.compact
     def __call__(self, carry, xs):
-        feat_prop, pqf_feat, age, chain, prev_key = carry
-        i, feat_cur, prev_feats, flow_n1, is_pqf = xs
+        (feat_prop, p_key, q_feat, q_key, prev_flow,
+         n2_feat, n2_chain, n2_valid) = carry
+        i, feat_cur, prev_feats, flow_n1, is_key = xs
         b, h, w, c = feat_prop.shape
-
-        # chain transition (start of step): if the previous step was a PQF,
-        # the chain restarts at this step's incoming flow; otherwise it is
-        # resampled by it (reference's warp-chain, see module docstring).
-        chain = jnp.where(
-            prev_key[:, None, None, None], flow_n1, flow_warp(chain, flow_n1)
-        )
 
         is_first = i == 0
         cond_n1 = flow_warp(feat_prop, flow_n1)
 
-        # second-order PQF branch: usable once a PQF exists >= 2 steps back
-        has_n2 = ((age >= 2) & (i >= 2))[:, None, None, None]
-        flow_n2 = jnp.where(has_n2, flow_n1 + chain, 0.0)
-        feat_n2 = jnp.where(has_n2, pqf_feat, 0.0)
-        cond_n2 = jnp.where(has_n2, flow_warp(pqf_feat, flow_n2), 0.0)
+        if self.second_order == "plain":
+            # vanilla BasicVSR++ second order: lag-2 feature, one-step
+            # composed flow (basicvsr_pp.py:613-620 reference lines)
+            has_n2 = (i >= 2) & jnp.ones((b,), bool)
+            has_n2 = has_n2[:, None, None, None]
+            flow_n2 = jnp.where(
+                has_n2, flow_n1 + flow_warp(prev_flow, flow_n1), 0.0
+            )
+            feat_n2 = jnp.where(has_n2, q_feat, 0.0)
+        else:
+            # promote the newly eligible lag-2 frame if it is a key
+            promote = q_key[:, None, None, None]
+            n2_feat = jnp.where(promote, q_feat, n2_feat)
+            n2_valid = q_key | n2_valid
+            chain_prev = jnp.where(promote, prev_flow, n2_chain)
+            if self.flow_compose == "compose":
+                n2_chain = flow_n1 + flow_warp(chain_prev, flow_n1)
+                flow_n2_full = n2_chain
+            else:
+                n2_chain = flow_warp(chain_prev, flow_n1)
+                flow_n2_full = flow_n1 + n2_chain
+            has_n2 = (n2_valid & (i >= 2))[:, None, None, None]
+            flow_n2 = jnp.where(has_n2, flow_n2_full, 0.0)
+            feat_n2 = jnp.where(has_n2, n2_feat, 0.0)
+
+        cond_n2 = jnp.where(has_n2, flow_warp(feat_n2, flow_n2), 0.0)
 
         cond = jnp.concatenate([cond_n1, feat_cur, cond_n2], axis=-1)
         x2c = jnp.concatenate([feat_prop, feat_n2], axis=-1)
@@ -144,21 +195,22 @@ class _PropagateStep(nn.Module):
             channels=c, deform_groups=self.deform_groups,
             max_residue_magnitude=self.max_residue_magnitude, name="deform_align",
         )(x2c, cond, flow_n1, flow_n2)
-        feat_prop = jnp.where(is_first, feat_prop, aligned)
+        new_prop = jnp.where(is_first, feat_prop, aligned)
 
         if self.n_prev:
-            feat_in = jnp.concatenate([feat_cur, prev_feats, feat_prop], axis=-1)
+            feat_in = jnp.concatenate([feat_cur, prev_feats, new_prop], axis=-1)
         else:
-            feat_in = jnp.concatenate([feat_cur, feat_prop], axis=-1)
-        feat_prop = feat_prop + ResidualBlocksWithInputConv(
+            feat_in = jnp.concatenate([feat_cur, new_prop], axis=-1)
+        new_prop = new_prop + ResidualBlocksWithInputConv(
             out_channels=c, num_blocks=self.num_blocks, name="backbone"
         )(feat_in)
 
-        # end-of-step carry updates
-        key = is_pqf[:, None, None, None]
-        pqf_feat = jnp.where(key, feat_prop, pqf_feat)
-        age = jnp.where(is_pqf, 1, age + 1)
-        return (feat_prop, pqf_feat, age, chain, is_pqf), feat_prop
+        # end-of-step shifts: current frame becomes lag-1, lag-1 becomes lag-2
+        new_carry = (
+            new_prop, is_key, feat_prop, p_key, flow_n1,
+            n2_feat, n2_chain, n2_valid,
+        )
+        return new_carry, new_prop
 
 
 class BasicVSRPlusPlusPQF(nn.Module):
@@ -169,8 +221,14 @@ class BasicVSRPlusPlusPQF(nn.Module):
     max_residue_magnitude: float = 10.0
     is_low_res_input: bool = True
     deform_groups: int = 16
+    # 'base' (BasicVSRPlusPlus_PQF), 'v2', 'v2_withB_skip', 'v2_onlyB_skip'
+    # (basicvsr_pp_v2.py:17,395,504,630)
+    variant: str = "base"
 
-    def _sweep(self, name, n_prev, feats_stack, prev_stacks, flows, is_pqf):
+    def _sweep(
+        self, name, n_prev, feats_stack, prev_stacks, flows, is_key,
+        flow_compose, second_order,
+    ):
         """Run one propagation branch over time with nn.scan."""
         b, t = feats_stack.shape[0], feats_stack.shape[1]
         c = self.mid_channels
@@ -186,7 +244,8 @@ class BasicVSRPlusPlusPQF(nn.Module):
             channels=c, num_blocks=self.num_blocks,
             deform_groups=self.deform_groups,
             max_residue_magnitude=self.max_residue_magnitude,
-            n_prev=n_prev, name=name,
+            n_prev=n_prev, flow_compose=flow_compose,
+            second_order=second_order, name=name,
         )
 
         def tfirst(x):
@@ -201,14 +260,18 @@ class BasicVSRPlusPlusPQF(nn.Module):
             tfirst(feats_stack),
             tfirst(prev_stacks) if prev_stacks is not None else jnp.zeros((t, b, h, w, 0), feats_stack.dtype),
             tfirst(flows_step),
-            tfirst(is_pqf),
+            tfirst(is_key),
         )
+        zf = jnp.zeros((b, h, w, c), feats_stack.dtype)
         carry = (
-            jnp.zeros((b, h, w, c), feats_stack.dtype),
-            jnp.zeros((b, h, w, c), feats_stack.dtype),
-            jnp.zeros((b,), jnp.int32),
-            jnp.zeros((b, h, w, 2), flows.dtype),
-            jnp.zeros((b,), bool),
+            zf,                                        # feat_prop (lag 1)
+            jnp.zeros((b,), bool),                     # p_key
+            zf,                                        # q_feat (lag 2)
+            jnp.zeros((b,), bool),                     # q_key
+            jnp.zeros((b, h, w, 2), flows.dtype),      # prev_flow
+            zf,                                        # n2_feat
+            jnp.zeros((b, h, w, 2), flows.dtype),      # n2_chain
+            jnp.zeros((b,), bool),                     # n2_valid
         )
         _, ys = scan(carry, xs)
         return jnp.moveaxis(ys, 0, 1)  # (b, t, h, w, c)
@@ -252,11 +315,28 @@ class BasicVSRPlusPlusPQF(nn.Module):
 
         if slices is None:
             is_pqf = jnp.ones((b, t), bool)
+            is_b = jnp.zeros((b, t), bool)
         else:
             is_pqf = (slices == 73.0) | (slices == 80.0)
+            is_b = slices == 66.0
+
+        # per-variant branch behavior (see class docstring / reference lines)
+        if self.variant == "base":
+            branch_cfg = {1: ("pqf", "resample", is_pqf), 2: ("pqf", "resample", is_pqf)}
+        elif self.variant == "v2":
+            branch_cfg = {1: ("pqf", "compose", is_pqf), 2: ("pqf", "compose", is_pqf)}
+        elif self.variant == "v2_withB_skip":
+            # branches 2 fall back to vanilla BasicVSR++ second order
+            branch_cfg = {1: ("pqf", "compose", is_pqf), 2: ("plain", "compose", is_pqf)}
+        elif self.variant == "v2_onlyB_skip":
+            # branches 2 key on B frames (basicvsr_pp_v2.py:694-699)
+            branch_cfg = {1: ("pqf", "compose", is_pqf), 2: ("pqf", "compose", is_b)}
+        else:
+            raise ValueError(f"unknown variant {self.variant!r}")
 
         branch_feats = []
         for it in (1, 2):
+            second_order, flow_compose, keys_it = branch_cfg[it]
             for direction in ("backward", "forward"):
                 name = f"{direction}_{it}"
                 prev_stacks = (
@@ -266,13 +346,16 @@ class BasicVSRPlusPlusPQF(nn.Module):
                     fs = jnp.flip(feats, 1)
                     ps = jnp.flip(prev_stacks, 1) if prev_stacks is not None else None
                     fl = jnp.flip(flows_backward, 1)
-                    keys = jnp.flip(is_pqf, 1)
-                    out = self._sweep(name, len(branch_feats), fs, ps, fl, keys)
+                    keys = jnp.flip(keys_it, 1)
+                    out = self._sweep(
+                        name, len(branch_feats), fs, ps, fl, keys,
+                        flow_compose, second_order,
+                    )
                     out = jnp.flip(out, 1)
                 else:
                     out = self._sweep(
                         name, len(branch_feats), feats, prev_stacks,
-                        flows_forward, is_pqf,
+                        flows_forward, keys_it, flow_compose, second_order,
                     )
                 branch_feats.append(out)
 

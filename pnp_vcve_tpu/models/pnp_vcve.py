@@ -153,13 +153,15 @@ class _BackwardStep(nn.Module):
                 prev_was_key[:, None, None, None], key_warp, neighbor
             )
 
+        # parts tuple: the input conv consumes them without a concat
+        # (conv(concat) == sum of per-part convs; see bae.py)
         if self.with_cat:
-            feat = jnp.concatenate([lr, key_warp, neighbor], axis=-1)
+            feat = (lr, key_warp, neighbor)
         else:
-            feat = jnp.concatenate([lr, key_warp], axis=-1)
+            feat = (lr, key_warp)
 
         out = ResidualBlocksWithInputConvDynamicDRT(
-            in_channels=feat.shape[-1],
+            in_channels=sum(f.shape[-1] for f in feat),
             out_channels=self.mid_channels,
             num_blocks=self.num_blocks,
             num_experts=self.num_experts,
@@ -209,12 +211,12 @@ class _ForwardStep(nn.Module):
             )
 
         if self.with_cat:
-            feat = jnp.concatenate([lr, key_warp, neighbor, cur], axis=-1)
+            feat = (lr, key_warp, neighbor, cur)
         else:
-            feat = jnp.concatenate([lr, key_warp, cur], axis=-1)
+            feat = (lr, key_warp, cur)
 
         out = ResidualBlocksWithInputConvDynamicDRT(
-            in_channels=feat.shape[-1],
+            in_channels=sum(f.shape[-1] for f in feat),
             out_channels=self.mid_channels,
             num_blocks=self.num_blocks,
             num_experts=self.num_experts,

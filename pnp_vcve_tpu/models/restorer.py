@@ -23,7 +23,32 @@ from pnp_vcve_tpu.train.losses import charbonnier_loss, l1_loss, mse_loss
 
 __all__ = ["Restorer", "CenterFrameRestorer", "ALLOWED_METRICS", "evaluate_center_frame_dataset"]
 
-ALLOWED_METRICS: Dict[str, Callable] = {"PSNR": psnr_fn, "SSIM": ssim_fn}
+def _niqe_metric(out_img, gt_img, crop_border: int = 0):
+    """No-reference NIQE; gt is ignored (metrics.py:521-572)."""
+    from pnp_vcve_tpu.metrics import niqe as niqe_fn
+
+    return niqe_fn(out_img, crop_border=crop_border)
+
+
+def _l1_metric(out_img, gt_img, crop_border: int = 0):
+    from pnp_vcve_tpu.metrics import l1_evaluation
+
+    return l1_evaluation(out_img, gt_img, crop_border=crop_border)
+
+
+def _mae_metric(out_img, gt_img, crop_border: int = 0):
+    from pnp_vcve_tpu.metrics import mae as mae_fn
+
+    return mae_fn(out_img, gt_img, crop_border=crop_border)
+
+
+ALLOWED_METRICS: Dict[str, Callable] = {
+    "PSNR": psnr_fn,
+    "SSIM": ssim_fn,
+    "MAE": _mae_metric,
+    "L1Evaluation": _l1_metric,
+    "NIQE": _niqe_metric,
+}
 
 _LOSSES = {
     "CharbonnierLoss": charbonnier_loss,

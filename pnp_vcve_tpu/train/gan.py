@@ -28,6 +28,7 @@ def make_gan_train_step(
     pixel_weight: float = 1.0,
     gan_weight: float = 0.01,
     fm_weight: float = 0.0,
+    perceptual_loss: Callable | None = None,
     donate: bool = True,
 ):
     """(g_state, d_state, batch) -> (g_state, d_state, metrics).
@@ -71,6 +72,11 @@ def make_gan_train_step(
                 loss = loss + feature_matching_loss(
                     fake_out["feature_maps"], real_out["feature_maps"], fm_weight
                 )
+            if perceptual_loss is not None:
+                # VGG perceptual (+style) terms, reference
+                # perceptual_loss.py:172-216 (weights baked into the fn)
+                percep, style = perceptual_loss(fake_g, gt)
+                loss = loss + percep + style
             return loss
 
         g_loss, g_grads = jax.value_and_grad(g_loss_fn)(g_state.params)

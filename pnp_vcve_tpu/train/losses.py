@@ -6,9 +6,10 @@ loss_weight=1.0) — configs/HR_davis_LR_128x128.py:26.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-__all__ = ["charbonnier_loss", "l1_loss", "mse_loss", "gan_loss", "feature_matching_loss"]
+__all__ = ["charbonnier_loss", "l1_loss", "mse_loss", "gan_loss", "feature_matching_loss", "make_perceptual_loss"]
 
 
 def charbonnier_loss(pred, target, eps: float = 1e-12, weight: float = 1.0):
@@ -49,3 +50,59 @@ def feature_matching_loss(fake_feats, real_feats, weight: float = 1.0):
     for f, r in zip(fake_feats, real_feats):
         total = total + jnp.mean(jnp.abs(f.astype(jnp.float32) - r.astype(jnp.float32)))
     return weight * total / max(len(fake_feats), 1)
+
+
+def make_perceptual_loss(
+    vgg_params,
+    layer_weights: dict,
+    layer_weights_style: dict | None = None,
+    vgg_type: str = "vgg19",
+    use_input_norm: bool = True,
+    perceptual_weight: float = 1.0,
+    style_weight: float = 0.0,
+    norm_img: bool = False,
+    criterion: str = "l1",
+):
+    """Perceptual (+ optional style/Gram) loss on VGG features.
+
+    Reference: mmedit/models/losses/perceptual_loss.py:97-233
+    (``PerceptualLoss``): per requested torchvision feature index, the l1/mse
+    distance between prediction and stop-gradient gt features, weighted and
+    summed; the style term compares Gram matrices. ``norm_img`` maps [-1,1]
+    inputs to [0,1] (this repo's pipelines are already [0,1], so default off).
+
+    Returns ``loss_fn(pred, gt) -> (perceptual, style)`` over NHWC [0,1]
+    images; entries are 0.0 when their weight is 0.
+    """
+    from pnp_vcve_tpu.models.vgg import vgg_features
+
+    if layer_weights_style is None:
+        layer_weights_style = layer_weights
+    names = sorted(set(layer_weights) | set(layer_weights_style), key=int)
+    crit = l1_loss if criterion == "l1" else mse_loss
+
+    def gram(feat):
+        b, h, w, c = feat.shape
+        f = feat.reshape(b, h * w, c).astype(jnp.float32)
+        return jnp.einsum("bnc,bnd->bcd", f, f) / (c * h * w)
+
+    def loss_fn(pred, gt):
+        if norm_img:
+            pred = (pred + 1.0) * 0.5
+            gt = (gt + 1.0) * 0.5
+        gt = jax.lax.stop_gradient(gt)
+        f_pred = vgg_features(vgg_params, pred, names, vgg_type, use_input_norm)
+        f_gt = vgg_features(vgg_params, gt, names, vgg_type, use_input_norm)
+        percep = 0.0
+        if perceptual_weight > 0:
+            for k, w in layer_weights.items():
+                percep = percep + w * crit(f_pred[k], f_gt[k])
+            percep = percep * perceptual_weight
+        style = 0.0
+        if style_weight > 0:
+            for k, w in layer_weights_style.items():
+                style = style + w * crit(gram(f_pred[k]), gram(f_gt[k]))
+            style = style * style_weight
+        return percep, style
+
+    return loss_fn

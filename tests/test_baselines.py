@@ -282,3 +282,117 @@ def test_tdan_shapes(rng):
     np.testing.assert_allclose(
         np.asarray(aligned[:, 2]), np.asarray(lrs[:, 2]), atol=1e-6
     )
+
+
+def _pqf_branch_loop_oracle(
+    branch_params, feats, flows, keys, flow_compose, second_order,
+    c, nb, g, m,
+):
+    """Reference propagate semantics as a python loop
+    (basicvsr_pp_v2.py:177-257 base / :397-502 v2 / :560-620 skip modes):
+    per step, rescan the key list for the most recent key at lag >= 2 and
+    build the flow chain to it."""
+    from pnp_vcve_tpu.models.baselines.basicvsr_pp import (
+        ResidualBlocksWithInputConv,
+        SecondOrderDeformableAlignment,
+    )
+    from pnp_vcve_tpu.ops.warp import flow_warp
+
+    align = SecondOrderDeformableAlignment(
+        channels=c, deform_groups=g, max_residue_magnitude=m
+    )
+    backbone = ResidualBlocksWithInputConv(out_channels=c, num_blocks=nb)
+    p_align = {"params": branch_params["deform_align"]}
+    p_backbone = {"params": branch_params["backbone"]}
+
+    b, t = feats.shape[0], feats.shape[1]
+    feat_prop = jnp.zeros_like(feats[:, 0])
+    outs = []
+    for i in range(t):
+        feat_cur = feats[:, i]
+        if i > 0:
+            flow_n1 = flows[:, i - 1]
+            cond_n1 = flow_warp(feat_prop, flow_n1)
+            feat_n2 = jnp.zeros_like(feat_prop)
+            flow_n2 = jnp.zeros_like(flow_n1)
+            cond_n2 = jnp.zeros_like(cond_n1)
+            if second_order == "plain":
+                if i > 1:
+                    feat_n2 = outs[i - 2]
+                    flow_n2 = flow_n1 + flow_warp(flows[:, i - 2], flow_n1)
+                    cond_n2 = flow_warp(feat_n2, flow_n2)
+            else:
+                elig = [j for j in range(0, i - 1) if keys[0, j]]
+                if i > 1 and elig:
+                    k = max(elig)  # most recent key at lag >= 2
+                    feat_n2 = outs[k]
+                    acc = flows[:, k]
+                    for s in range(k + 1, i):
+                        tmp = flows[:, s]
+                        if flow_compose == "compose":
+                            acc = tmp + flow_warp(acc, tmp)
+                        else:
+                            acc = flow_warp(acc, tmp)
+                    flow_n2 = acc if flow_compose == "compose" else flow_n1 + acc
+                    cond_n2 = flow_warp(feat_n2, flow_n2)
+            cond = jnp.concatenate([cond_n1, feat_cur, cond_n2], axis=-1)
+            x2c = jnp.concatenate([feat_prop, feat_n2], axis=-1)
+            feat_prop = align.apply(p_align, x2c, cond, flow_n1, flow_n2)
+        feat_in = jnp.concatenate([feat_cur, feat_prop], axis=-1)
+        feat_prop = feat_prop + backbone.apply(p_backbone, feat_in)
+        outs.append(feat_prop)
+    return jnp.stack(outs, axis=1)
+
+
+@pytest.mark.parametrize(
+    "flow_compose,second_order",
+    [("resample", "pqf"), ("compose", "pqf"), ("compose", "plain")],
+)
+def test_pqf_branch_scan_matches_loop_oracle(rng, flow_compose, second_order):
+    """The O(1)-carry scan == the reference's rescan-per-step loop, on a key
+    pattern where a lag-1 key SHADOWS an older eligible key (frames 3,4)."""
+    from pnp_vcve_tpu.models.baselines.basicvsr_pp import BasicVSRPlusPlusPQF
+
+    b, t, h, w, c = 1, 7, 16, 16, 8
+    feats = jnp.asarray(rng.random((b, t, h, w, c), np.float32))
+    flows = jnp.asarray(rng.standard_normal((b, t - 1, h, w, 2)).astype(np.float32))
+    keys = jnp.asarray(
+        np.array([[1, 0, 0, 1, 1, 0, 0]], bool)
+    )  # keys at 0,3,4: at step 5 the lag-1 key (4) shadows eligible key 3
+
+    import flax.linen as nn
+
+    class _BranchOnly(BasicVSRPlusPlusPQF):
+        # compact wrapper: _sweep needs a compact scope to create its scan
+        @nn.compact
+        def __call__(self, fs, fl, ks):  # noqa: D102
+            return self._sweep(
+                "branch", 0, fs, None, fl, ks, flow_compose, second_order
+            )
+
+    model = _BranchOnly(mid_channels=c, num_blocks=1, deform_groups=2)
+    params = model.init(jax.random.PRNGKey(0), feats, flows, keys)
+    got = model.apply(params, feats, flows, keys)
+    expected = _pqf_branch_loop_oracle(
+        params["params"]["branch"], feats, flows, keys, flow_compose,
+        second_order, c, 1, 2, 10.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), atol=2e-5, rtol=1e-4
+    )
+
+
+@pytest.mark.parametrize("variant", ["v2", "v2_withB_skip", "v2_onlyB_skip"])
+def test_basicvsr_pp_variants_forward(rng, variant):
+    from pnp_vcve_tpu.models.baselines.basicvsr_pp import BasicVSRPlusPlusPQF
+
+    model = BasicVSRPlusPlusPQF(
+        mid_channels=8, num_blocks=1, deform_groups=2, is_low_res_input=True,
+        variant=variant,
+    )
+    lrs = jnp.asarray(rng.random((1, 5, 64, 64, 3), np.float32))
+    slices = jnp.asarray(np.array([[73, 66, 80, 66, 80]], np.float32))
+    params = model.init(jax.random.PRNGKey(0), lrs, slices=slices)
+    out = model.apply(params, lrs, slices=slices)
+    assert out.shape == (1, 5, 256, 256, 3)
+    assert np.isfinite(np.asarray(out)).all()

@@ -153,7 +153,7 @@ def test_bilinear_resize_matches_torch(rng):
     np.testing.assert_allclose(ours, expected, atol=2e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("impl", ["blockgather", "corner"])
+@pytest.mark.parametrize("impl", ["padgather", "blockgather", "corner"])
 def test_flow_warp_impls_match_oracle(rng, impl):
     n, h, w, c = 2, 10, 14, 4
     x = rng.standard_normal((n, h, w, c)).astype(np.float32)

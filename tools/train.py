@@ -42,6 +42,121 @@ def parse_args():
     return p.parse_args()
 
 
+def _train_gan(cfg, generator, loader, mesh, total_iters, seed, start_iter, g_state):
+    """Adversarial training loop (reference dcngan.py:81-228 recipe):
+    per iter, D on real/fake, then G on pixel + adversarial (+ feature
+    matching, + VGG perceptual when configured)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from pnp_vcve_tpu.core.builder import build_discriminator, build_optimizer
+    from pnp_vcve_tpu.core.checkpoint import CheckpointManager
+    from pnp_vcve_tpu.train import create_train_state
+    from pnp_vcve_tpu.train.gan import make_gan_train_step
+    from pnp_vcve_tpu.train.loop import state_payload
+
+    mdl = cfg.model
+    disc = build_discriminator(dict(mdl["discriminator"]))
+
+    # peek one batch for shapes
+    it = iter(loader)
+    first = next(it)
+    t = first["lq"].shape[1]
+    gt_center = first["gt"][:, t // 2]
+    d_params = disc.init(jax.random.PRNGKey(seed + 1), jnp.zeros_like(gt_center))[
+        "params"
+    ]
+    opt_cfgs = cfg.get("optimizers", {})
+    d_tx = build_optimizer(
+        {"generator": opt_cfgs.get("discriminator", opt_cfgs.get("generator"))},
+        cfg.get("lr_config"),
+        total_iters,
+    )
+    d_state = create_train_state(d_params, d_tx)
+
+    perceptual = None
+    pcfg = mdl.get("perceptual_loss")
+    if pcfg is not None:
+        from pnp_vcve_tpu.train.losses import make_perceptual_loss
+
+        pretrained = pcfg.get("pretrained")
+        vgg_params = None
+        if pretrained and os.path.exists(str(pretrained)):
+            import torch
+
+            from pnp_vcve_tpu.models.vgg import convert_torchvision_vgg
+
+            sd = torch.load(pretrained, map_location="cpu", weights_only=False)
+            vgg_params = convert_torchvision_vgg(
+                sd.get("state_dict", sd), pcfg.get("vgg_type", "vgg19")
+            )
+        else:
+            print(
+                f"[gan] perceptual_loss configured but pretrained VGG not "
+                f"found at {pretrained!r}; SKIPPING the perceptual term"
+            )
+        if vgg_params is not None:
+            perceptual = make_perceptual_loss(
+                vgg_params,
+                dict(pcfg.get("layer_weights", {"34": 1.0})),
+                vgg_type=pcfg.get("vgg_type", "vgg19"),
+                perceptual_weight=pcfg.get("perceptual_weight", 1.0),
+                style_weight=pcfg.get("style_weight", 0.0),
+                norm_img=pcfg.get("norm_img", False),
+                criterion=pcfg.get("criterion", "l1"),
+            )
+
+    step_fn = make_gan_train_step(
+        generator,
+        disc,
+        gan_type=mdl.get("gan_type", "lsgan"),
+        pixel_weight=mdl.get("pixel_weight", 1.0),
+        gan_weight=mdl.get("gan_weight", 0.01),
+        fm_weight=mdl.get("fm_weight", 0.0),
+        perceptual_loss=perceptual,
+        donate=False,
+    )
+
+    ckpt = CheckpointManager(cfg.work_dir)
+    log_int = cfg.get("log_config", {}).get("interval", 100)
+    ckpt_int = cfg.get("checkpoint_config", {}).get("interval", 2000)
+    losses_g, losses_d = [], []
+    t_last = time.perf_counter()
+    batch = first
+    for step in range(start_iter, total_iters):
+        gan_batch = {
+            "lq": batch["lq"],
+            "gt": batch["gt"][:, t // 2],
+            "base_qps": batch["base_qps"],
+        }
+        g_state, d_state, metrics = step_fn(g_state, d_state, gan_batch)
+        losses_g.append(metrics["loss_g"])
+        losses_d.append(metrics["loss_d"])
+        if (step + 1) % log_int == 0:
+            lg = float(np.mean(jax.device_get(losses_g)))
+            ld = float(np.mean(jax.device_get(losses_d)))
+            losses_g.clear()
+            losses_d.clear()
+            dt = time.perf_counter() - t_last
+            t_last = time.perf_counter()
+            print(
+                f"iter {step + 1}/{total_iters} loss_g={lg:.5f} "
+                f"loss_d={ld:.5f} ({log_int / dt:.2f} it/s)"
+            )
+        if (step + 1) % ckpt_int == 0 or step + 1 == total_iters:
+            payload = state_payload(g_state)
+            payload["disc"] = state_payload(d_state)
+            ckpt.save(step + 1, payload, wait=step + 1 == total_iters)
+        if step + 1 < total_iters:
+            batch = next(it)
+    ckpt.close()
+    print("GAN training done")
+
+
 def main():
     args = parse_args()
     if args.multihost:
@@ -137,6 +252,19 @@ def main():
         sharding=batch_sharding(mesh, ndim=1),
         start_step=start_iter,
     )
+
+    # --- GAN training path (reference DCNGAN train_step,
+    # mmedit/models/restorers/dcngan.py:81-228): generator + discriminator
+    # states, adversarial + pixel (+ fm, + VGG perceptual) losses. Selected
+    # by a `discriminator` entry in cfg.model.
+    disc_cfg = cfg.model.get("discriminator") if hasattr(cfg.model, "get") else None
+    if disc_cfg is not None:
+        _train_gan(
+            cfg, model, loader, mesh, total_iters, seed, start_iter, state
+        )
+        loader.stop()
+        ckpt.close()
+        return
 
     def remap(batch):
         return {
