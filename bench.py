@@ -55,8 +55,11 @@ def main():
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
 
-    # 720p, window sized to fit one chip's HBM feature buffer
-    b, t, h, w = 1, 12, 720, 1280
+    # 720p, window sized to fit one chip's HBM feature buffer.
+    # PNP_BENCH_BATCH > 1 enhances several clips concurrently (throughput
+    # serving): better MXU utilization and amortized per-step weight DMA.
+    b = int(os.environ.get("PNP_BENCH_BATCH", "1"))
+    t, h, w = 12, 720, 1280
     if not on_tpu:  # CPU smoke fallback
         b, t, h, w = 1, 4, 128, 128
 

@@ -274,12 +274,18 @@ def _pipeline_params(pipeline: list[dict]) -> dict:
         gt_patch_size=128,
         filename_tmpl="{:08d}.png",
         interval_list=(1,),
+        window_mode="segment",
     )
     for stage in pipeline or []:
         t = stage.get("type", "")
         if t.startswith("GenerateSegmentIndices"):
             out["filename_tmpl"] = stage.get("filename_tmpl", out["filename_tmpl"])
             out["interval_list"] = tuple(stage.get("interval_list", (1,)))
+        elif t.startswith("GenerateFrameIndicesEDVR"):
+            # EDVR center-frame windows (augmentation.py:960-1244)
+            out["filename_tmpl"] = stage.get("filename_tmpl", out["filename_tmpl"])
+            out["interval_list"] = tuple(stage.get("interval_list", (1,)))
+            out["window_mode"] = "edvr"
         elif t.startswith("LoadImageFromFileList"):
             out["qp_slice_file"] = stage.get("qp_slice_file", out["qp_slice_file"])
             out["data_ratio"] = tuple(stage.get("data_ratio", out["data_ratio"]))
@@ -336,6 +342,7 @@ def _build_reds_train(
         data_ratio=p["data_ratio"],
         interval_list=p["interval_list"],
         replace_qp_with_ipb=p["replace_qp_with_ipb"],
+        window_mode=p["window_mode"],
     )
 
 
@@ -376,7 +383,67 @@ def _build_davis_train(
         data_ratio=p["data_ratio"],
         interval_list=p["interval_list"],
         replace_qp_with_ipb=p["replace_qp_with_ipb"],
+        window_mode=p["window_mode"],
     )
+
+
+@DATASETS.register(name="BigMultipleGTMixCompressDataset")
+def _build_big_train(
+    lq_folder,
+    gt_folder,
+    cprs15_folder,
+    cprs25_folder,
+    cprs35_folder,
+    num_input_frames=15,
+    scale=1,
+    pipeline=None,
+    test_mode=False,
+    sequence_length=None,
+    **kwargs,
+):
+    """Multi-dataset mixture (reference sr_big_dataset.py:6-87): every folder
+    argument is a dict keyed by dataset name; clips from all datasets pool
+    uniformly (the reference concatenates data_infos). The per-dataset
+    qp_slice files of the mixdataset loader (loading_ipb_mix.py:14-217)
+    arrive as a dict in the pipeline's qp_slice_file."""
+    import os
+
+    from pnp_vcve_tpu.data.datasets import ClipIndex, MixCompressTrainDataset
+    from pnp_vcve_tpu.data.loader import WeightedMixture
+
+    seq_default = {"HR": 100, "LR": 100, "DAVIS": 20}
+    sequence_length = dict(sequence_length or seq_default)
+    p = _pipeline_params(pipeline)
+    qp_files = p["qp_slice_file"]
+
+    sources, weights = [], []
+    for name in dict(lq_folder):
+        root = lq_folder[name]
+        clip_names = sorted(d.name for d in os.scandir(root) if d.is_dir())
+        seq = sequence_length.get(name, 100)
+        clips = [ClipIndex(n, seq) for n in clip_names]
+        qp_file = qp_files.get(name) if isinstance(qp_files, dict) else qp_files
+        sources.append(
+            MixCompressTrainDataset(
+                lq_folder=root,
+                gt_folder=gt_folder[name],
+                cprs15_folder=cprs15_folder[name],
+                cprs25_folder=cprs25_folder[name],
+                cprs35_folder=cprs35_folder[name],
+                qp_slice_file=qp_file,
+                clips=clips,
+                num_input_frames=num_input_frames,
+                scale=scale,
+                gt_patch_size=p["gt_patch_size"],
+                filename_tmpl=p["filename_tmpl"],
+                data_ratio=p["data_ratio"],
+                interval_list=p["interval_list"],
+                replace_qp_with_ipb=p["replace_qp_with_ipb"],
+                window_mode=p["window_mode"],
+            )
+        )
+        weights.append(len(clips))
+    return WeightedMixture(sources, weights)
 
 
 @DATASETS.register(name="SRREDSMultipleGTCompressDataset")

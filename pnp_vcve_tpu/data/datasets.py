@@ -37,6 +37,7 @@ from .qp_slice import QpSliceLookup
 from .pipeline import (
     Sample,
     flip,
+    generate_edvr_window_indices,
     generate_segment_indices,
     paired_random_crop_mv,
     random_transpose_hw,
@@ -105,6 +106,9 @@ class MixCompressTrainDataset:
     interval_list: Sequence[int] = (1,)
     replace_qp_with_ipb: bool = False
     always_transpose: bool = True
+    # 'segment' (GenerateSegmentIndices_Mix_Compress) | 'edvr'
+    # (GenerateFrameIndicesEDVR_mix, center-frame window w/ border reroll)
+    window_mode: str = "segment"
     _lut: QpSliceLookup = field(init=False, repr=False)
 
     def __post_init__(self):
@@ -123,7 +127,12 @@ class MixCompressTrainDataset:
 
     def sample(self, rng: np.random.Generator) -> Sample:
         clip = self.clips[int(rng.integers(0, len(self.clips)))]
-        idxs = generate_segment_indices(
+        gen = (
+            generate_edvr_window_indices
+            if self.window_mode == "edvr"
+            else generate_segment_indices
+        )
+        idxs = gen(
             clip.sequence_length, self.num_input_frames, rng, self.interval_list
         )
         base_qp, folder = self._bucket(float(rng.random()))

@@ -83,13 +83,27 @@ def evaluate_dataset(
     chunk_t: Optional[int] = None,
     verbose: bool = True,
     cascade=None,
+    distributed: bool = False,
 ) -> Dict[str, float]:
     """``cascade``: optional (step_fn, params, restorer) triple — enhanced
     frames are fed plug-and-play to a downstream VSR model and the metrics
-    are computed on ITS output (reference tools/test.py:121-134)."""
+    are computed on ITS output (reference tools/test.py:121-134).
+
+    ``distributed=True``: each process evaluates its rank-strided clip
+    shard and the dataset mean is the exact count-weighted cross-host
+    reduction (parallel/multihost.py — replaces the reference's pickle
+    gathers, apis/test.py:129-234). Images are saved host-locally."""
     eval_step = make_eval_step(restorer.generator)
     per_clip = []
-    for sample in dataset:
+    if distributed:
+        from pnp_vcve_tpu.parallel.multihost import shard_clips
+
+        n = len(dataset)  # type: ignore[arg-type]
+        idxs = shard_clips(n, jax.process_index(), jax.process_count())
+        samples = (dataset.load_clip(i) for i in idxs)  # type: ignore[attr-defined]
+    else:
+        samples = dataset
+    for sample in samples:
         t0 = time.perf_counter()
         out = enhance_clip(eval_step, params, sample, chunk_t=chunk_t)
         if cascade is not None:
@@ -106,7 +120,12 @@ def evaluate_dataset(
             _save_frames(
                 np.stack([tensor2img(f) for f in out]), clip_name, save_path
             )
-    agg = average_clip_metrics(per_clip)
+    if distributed:
+        from pnp_vcve_tpu.parallel.multihost import allreduce_clip_metrics
+
+        agg = allreduce_clip_metrics(per_clip)
+    else:
+        agg = average_clip_metrics(per_clip)
     if verbose and agg:
         print("[eval] dataset mean: " + " ".join(f"{k}={v:.4f}" for k, v in agg.items()))
     return agg

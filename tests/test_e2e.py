@@ -262,3 +262,39 @@ def test_center_frame_eval_with_stdf(dataset_root):
     )
     assert set(agg) == {"PSNR", "SSIM"}
     assert np.isfinite(agg["PSNR"])
+
+
+def test_big_dataset_builder(dataset_root):
+    """Multi-dataset 'Big' mixture (sr_big_dataset.py:6-87 semantics) +
+    EDVR-window pipeline detection."""
+    from pnp_vcve_tpu.core.builder import build_dataset
+
+    root = str(dataset_root)
+    roots = lambda sub: {"A": f"{root}/{sub}/png", "B": f"{root}/{sub}/png"}
+    ds = build_dataset(
+        dict(
+            type="BigMultipleGTMixCompressDataset",
+            lq_folder=roots("crf15"),
+            gt_folder={"A": f"{root}/sharp/png", "B": f"{root}/sharp/png"},
+            cprs15_folder=roots("crf15"),
+            cprs25_folder=roots("crf25"),
+            cprs35_folder=roots("crf35"),
+            num_input_frames=3,
+            sequence_length={"A": T_FRAMES, "B": T_FRAMES},
+            pipeline=[
+                dict(type="GenerateFrameIndicesEDVR_mix", interval_list=[1]),
+                dict(
+                    type="LoadImageFromFileList_Mix_Compress_ipb_mixdataset",
+                    key="lq",
+                    qp_slice_file={"A": str(dataset_root / "qp.json"),
+                                   "B": str(dataset_root / "qp.json")},
+                    data_ratio=[0.25, 0.5, 0.75, 1.0],
+                ),
+                dict(type="PairedRandomCrop_mv", gt_patch_size=16),
+            ],
+            scale=1,
+        )
+    )
+    s = ds.sample(np.random.default_rng(0))
+    assert s["lq"].shape == (3, 16, 16, 3)
+    assert s["gt"].shape == (3, 16, 16, 3)

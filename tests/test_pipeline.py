@@ -97,3 +97,20 @@ def test_segment_indices_bounds():
         assert all(b - a == 1 for a, b in zip(idxs, idxs[1:]))
     with pytest.raises(ValueError):
         generate_segment_indices(10, 15, rng)
+
+
+def test_edvr_window_indices():
+    """Center-frame window with border reroll (augmentation.py:960-1045)."""
+    import numpy as np
+
+    from pnp_vcve_tpu.data.pipeline import generate_edvr_window_indices
+
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        idxs = generate_edvr_window_indices(20, 5, rng, interval_list=(1, 2, 3))
+        assert len(idxs) == 5
+        assert all(0 <= i <= 19 for i in idxs)
+        d = np.diff(idxs)
+        assert (d == d[0]).all() and d[0] in (1, 2, 3)
+        # centered window: symmetric around the middle element
+        assert idxs[2] - idxs[0] == idxs[4] - idxs[2]

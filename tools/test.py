@@ -33,12 +33,16 @@ def parse_args():
     p.add_argument("--cascade_ckpt", default=None)
     p.add_argument("--launcher", default="none")
     p.add_argument("--local_rank", type=int, default=0)
+    p.add_argument("--multihost", action="store_true", help="init jax.distributed; clips shard across processes")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
     import jax
+
+    if args.multihost:
+        jax.distributed.initialize()
 
     from pnp_vcve_tpu.core.config import Config
     from pnp_vcve_tpu.core.builder import build_dataset, build_restorer
@@ -99,6 +103,7 @@ def main():
         save_image=args.save_image,
         chunk_t=args.chunk_t,
         cascade=cascade,
+        distributed=args.multihost,
     )
     if metrics:
         print(", ".join(f"{k}: {v:.4f}" for k, v in metrics.items()))
