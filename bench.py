@@ -37,15 +37,20 @@ def make_inputs(b, t, h, w, dtype=jnp.float32):
     slices = np.full((b, t), 66.0, np.float32)
     slices[:, ::4] = 80.0
     slices[:, 0] = 73.0
+    # Realistic bitstream MVs: piecewise constant over 8x8 macroblock
+    # partitions (what data/mv_raster.py emits), +-16 px search range.
+    mvs_blk = (rng.standard_normal((b, t, h // 8, w // 8, 4)) * 6).astype(np.float32)
+    mvs = np.repeat(np.repeat(mvs_blk, 8, axis=2), 8, axis=3)
+    # partition one-hots constant per 8x8 block too
+    par_blk = (rng.random((b, t, h // 8, w // 8, 3)) > 0.5).astype(np.float32)
+    par = np.repeat(np.repeat(par_blk, 8, axis=2), 8, axis=3) / 255.0
     return dict(
         lrs=jnp.asarray(rng.random((b, t, h, w, 3)).astype(np.float32), dtype),
         qps=jnp.asarray(rng.random((b, t)).astype(np.float32)),
         slices=jnp.asarray(slices),
-        mvs=jnp.asarray((rng.standard_normal((b, t, h, w, 4)) * 3).astype(np.float32), dtype),
+        mvs=jnp.asarray(mvs, dtype),
         base_qps=jnp.full((b, t), 15.0 / 255.0, jnp.float32),
-        par_map=jnp.asarray(
-            (rng.random((b, t, h, w, 3)) > 0.5).astype(np.float32) / 255.0, dtype
-        ),
+        par_map=jnp.asarray(par, dtype),
     )
 
 
@@ -67,8 +72,17 @@ def main():
     # composition per block after the grid-alignment fix) is on by default;
     # PNP_BENCH_PALLAS=0 falls back to the pure-XLA path.
     use_pallas = os.environ.get("PNP_BENCH_PALLAS", "1") != "0" and on_tpu
+    # block8 exploits the rasterizer's 8x8-block-constant MV structure
+    # (exact on rasterized full-frame inputs); PNP_BENCH_BLOCK_WARP=0 falls
+    # back to the generic per-pixel gather.
+    warp_impl = (
+        "block8"
+        if os.environ.get("PNP_BENCH_BLOCK_WARP", "1") != "0" and on_tpu
+        else "padgather"
+    )
     model = PnPVCVE(
-        remat=False, feature_dtype=jnp.bfloat16, use_pallas_kernels=use_pallas
+        remat=False, feature_dtype=jnp.bfloat16, use_pallas_kernels=use_pallas,
+        warp_impl=warp_impl,
     )
     inputs = make_inputs(b, t, h, w, dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), **inputs)

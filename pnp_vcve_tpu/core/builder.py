@@ -186,6 +186,63 @@ def _build_tdan(**kwargs):
     return TDANNet(**known)
 
 
+@BACKBONES.register(name="EDSR")
+def _build_edsr(**kwargs):
+    from pnp_vcve_tpu.models.baselines.sisr import EDSR
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "in_channels", "out_channels", "mid_channels", "num_blocks",
+        "upscale_factor", "res_scale", "rgb_mean", "rgb_std")}
+    return EDSR(**known)
+
+
+@BACKBONES.register(name="RRDBNet", aliases=("RRDBNetESRGAN",))
+def _build_rrdb(**kwargs):
+    from pnp_vcve_tpu.models.baselines.sisr import RRDBNet
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "in_channels", "out_channels", "mid_channels", "num_blocks",
+        "growth_channels", "upscale_factor")}
+    return RRDBNet(**known)
+
+
+@BACKBONES.register(name="MSRResNet", aliases=("ModifiedSRResNet",))
+def _build_msrresnet(**kwargs):
+    from pnp_vcve_tpu.models.baselines.sisr import MSRResNet
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "in_channels", "out_channels", "mid_channels", "num_blocks",
+        "upscale_factor")}
+    return MSRResNet(**known)
+
+
+@BACKBONES.register(name="SRCNN")
+def _build_srcnn(**kwargs):
+    from pnp_vcve_tpu.models.baselines.sisr import SRCNN
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "channels", "kernel_sizes", "upscale_factor")}
+    return SRCNN(**known)
+
+
+@BACKBONES.register(name="TOFlow", aliases=("TOF",))
+def _build_toflow(**kwargs):
+    from pnp_vcve_tpu.models.baselines.tof import TOFlow
+
+    known = {k: v for k, v in kwargs.items() if k in ("adapt_official_weights",)}
+    return TOFlow(**known)
+
+
+@BACKBONES.register(name="RealBasicVSRNet")
+def _build_real_basicvsr(**kwargs):
+    from pnp_vcve_tpu.models.baselines.tof import RealBasicVSRNet
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "mid_channels", "num_propagation_blocks", "num_cleaning_blocks",
+        "dynamic_refine_thres", "is_fix_cleaning", "is_sequential_cleaning")}
+    return RealBasicVSRNet(**known)
+
+
 @BACKBONES.register(name="DenseMWNetMiniPSNR", aliases=("DenseMWNet_Mini_PSNR",))
 def _build_mwgan(**kwargs):
     from pnp_vcve_tpu.models.baselines.mwgan import DenseMWNetMiniPSNR
@@ -538,12 +595,18 @@ def build_train_datasets(cfg_list):
 
 def build_optimizer(cfg: dict, lr_config: Optional[dict] = None, total_iters: int = 300_000):
     """Adam + cosine-restart schedule from the config's optimizer/lr_config
-    dicts (configs/HR_davis_LR_128x128.py:209-224)."""
+    dicts (configs/HR_davis_LR_128x128.py:209-224).
+
+    ``paramwise_cfg.custom_keys`` (reference
+    mmedit/core/optimizer/builder.py:5-58 via mmcv DefaultOptimizerConstructor,
+    e.g. ``{'spynet': dict(lr_mult=0.125)}`` for the SPyNet-based baselines)
+    scales the update of every parameter whose tree path contains the key.
+    """
     opt = dict(cfg.get("generator", cfg))
     typ = opt.pop("type", "Adam")
     lr = opt.pop("lr", 2e-4)
     betas = opt.pop("betas", (0.9, 0.999))
-    opt.pop("paramwise_cfg", None)  # spynet lr_mult — no spynet in flagship
+    paramwise = dict(opt.pop("paramwise_cfg", None) or {})
 
     if lr_config is not None and lr_config.get("policy") == "CosineRestart":
         schedule = cosine_restart_schedule(
@@ -557,4 +620,27 @@ def build_optimizer(cfg: dict, lr_config: Optional[dict] = None, total_iters: in
 
     if typ != "Adam":
         raise NotImplementedError(f"optimizer {typ!r}")
-    return optax.adam(schedule, b1=betas[0], b2=betas[1])
+    tx = optax.adam(schedule, b1=betas[0], b2=betas[1])
+
+    custom_keys = dict(paramwise.get("custom_keys", {}) or {})
+    if custom_keys:
+        import jax
+
+        def scale_by_path(updates, state, params=None):
+            del params
+
+            def scale(path, u):
+                p = jax.tree_util.keystr(path)
+                mult = 1.0
+                for key, kcfg in custom_keys.items():
+                    if key in p:
+                        mult = float(dict(kcfg).get("lr_mult", 1.0))
+                return u * mult
+
+            return jax.tree_util.tree_map_with_path(scale, updates), state
+
+        tx = optax.chain(
+            tx,
+            optax.GradientTransformation(lambda params: optax.EmptyState(), scale_by_path),
+        )
+    return tx

@@ -111,6 +111,7 @@ class _BackwardStep(nn.Module):
     use_pallas: bool = False
     deform: str = "vos"
     deform_groups: int = 16
+    warp_impl: str = "padgather"
 
     def _align(self, feat, flow):
         """Keyframe aligner (reference self.deform_align, iconvsr_ipb.py:19-28).
@@ -118,7 +119,9 @@ class _BackwardStep(nn.Module):
         forward sweeps; here each sweep owns its params (flax scan scoping) and
         the checkpoint converter writes the reference weights into both."""
         if self.deform == "vos":
-            return flow_warp(feat, flow, self.flow_interpolation)
+            return flow_warp(
+                feat, flow, self.flow_interpolation, impl=self.warp_impl
+            )
         if self.deform == "basic":
             return BasicDeformableAlignment(
                 channels=self.mid_channels,
@@ -195,6 +198,7 @@ class _ForwardStep(nn.Module):
     use_pallas: bool = False
     deform: str = "vos"
     deform_groups: int = 16
+    warp_impl: str = "padgather"
 
     _align = _BackwardStep._align
 
@@ -278,6 +282,10 @@ class PnPVCVE(nn.Module):
     flow_interpolation: str = "bilinear"
     deform: str = "vos"  # 'vos' | 'basic' | 'fvc' (reference iconvsr_ipb.py:19-28)
     deform_groups: int = 16
+    # 'padgather' (generic grid_sample parity) | 'block8' (exploits the MV
+    # rasterizer's 8x8 block-constant structure; exact ONLY on such flows —
+    # use for serving on uncropped rasterized inputs)
+    warp_impl: str = "padgather"
     use_pallas_kernels: bool = False
     remat: bool = True
     feature_dtype: jnp.dtype = jnp.float32
@@ -356,6 +364,7 @@ class PnPVCVE(nn.Module):
             use_pallas=self.use_pallas_kernels,
             deform=self.deform,
             deform_groups=self.deform_groups,
+            warp_impl=self.warp_impl,
         )
 
         scan_kwargs = dict(

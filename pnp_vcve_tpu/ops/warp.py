@@ -221,6 +221,85 @@ def _warp_single_padgather(
     return out.reshape(h, w, c)
 
 
+_BLOCK = 8       # H.264 macroblock partitions are multiples of 8x8
+_BLOCK_PAD = 16  # >= 10: any clamped block gather is fully outside the
+                 # +-1 tap range, so its weights are exactly zero
+
+
+def _warp_single_block8(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear warp for flows CONSTANT over the 8x8 macroblock grid — the
+    structure the MV rasterizer emits (data/mv_raster.py: per-partition
+    constants over 16x16/16x8/8x8 blocks, all 8-aligned).
+
+    One (9,9,C)-slice gather per block instead of a (2,2,C) gather per
+    pixel: 64x fewer gather rows, each a large contiguous slab. Since
+    floor(y + fy) == y + floor(fy) for integer y, a block's 81 taps live in
+    one (9,9) source window at a per-block integer offset; the per-block
+    fractional weights are combined with per-PIXEL validity masks exactly
+    as in the padgather variant, so zeros-padding semantics are exact for
+    any displacement (a 16-px zero pad guarantees clamped blocks carry
+    zero weight everywhere).
+    """
+    h, w, c = x.shape
+    dtype = x.dtype
+    nby, nbx = h // _BLOCK, w // _BLOCK
+
+    fb = flow[:: _BLOCK, :: _BLOCK]  # (nby, nbx, 2) per-block flow
+    fx = fb[..., 0].astype(jnp.float32)
+    fy = fb[..., 1].astype(jnp.float32)
+    dx = jnp.floor(fx)
+    dy = jnp.floor(fy)
+    wx = fx - dx  # per-block fractions
+    wy = fy - dy
+
+    P = _BLOCK_PAD
+    xp = jnp.pad(x, ((P, P), (P, P), (0, 0)))
+    by = jax.lax.broadcasted_iota(jnp.int32, (nby, nbx), 0) * _BLOCK
+    bx = jax.lax.broadcasted_iota(jnp.int32, (nby, nbx), 1) * _BLOCK
+    sy = jnp.clip(by + dy.astype(jnp.int32) + P, 0, h + 2 * P - (_BLOCK + 1))
+    sx = jnp.clip(bx + dx.astype(jnp.int32) + P, 0, w + 2 * P - (_BLOCK + 1))
+    starts = jnp.stack([sy.reshape(-1), sx.reshape(-1)], axis=-1)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+    )
+    g = jax.lax.gather(
+        xp, starts, dnums, slice_sizes=(_BLOCK + 1, _BLOCK + 1, c),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    ).reshape(nby, nbx, _BLOCK + 1, _BLOCK + 1, c)
+
+    # per-pixel validity folded into the bilinear weights (padgather rules)
+    row = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    fy_full = jnp.repeat(jnp.repeat(fy, _BLOCK, 0), _BLOCK, 1)
+    fx_full = jnp.repeat(jnp.repeat(fx, _BLOCK, 0), _BLOCK, 1)
+    py = row + fy_full
+    px = col + fx_full
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    ok_y0 = (y0 >= -1) & (y0 <= h - 1)
+    ok_y1 = (y0 + 1 >= 0) & (y0 + 1 <= h)
+    ok_x0 = (x0 >= -1) & (x0 <= w - 1)
+    ok_x1 = (x0 + 1 >= 0) & (x0 + 1 <= w)
+
+    def blocked(m):  # (h, w) -> (nby, nbx, 8, 8, 1)
+        return (
+            m.reshape(nby, _BLOCK, nbx, _BLOCK)
+            .transpose(0, 2, 1, 3)[..., None]
+            .astype(dtype)
+        )
+
+    wy1 = blocked(jnp.where(ok_y1, py - y0, 0.0))
+    wy0 = blocked(jnp.where(ok_y0, 1.0 - (py - y0), 0.0))
+    wx1 = blocked(jnp.where(ok_x1, px - x0, 0.0))
+    wx0 = blocked(jnp.where(ok_x0, 1.0 - (px - x0), 0.0))
+
+    B = _BLOCK
+    r0 = g[:, :, 0:B, 0:B] * wy0 + g[:, :, 1 : B + 1, 0:B] * wy1
+    r1 = g[:, :, 0:B, 1 : B + 1] * wy0 + g[:, :, 1 : B + 1, 1 : B + 1] * wy1
+    out = r0 * wx0 + r1 * wx1  # (nby, nbx, 8, 8, c)
+    return out.transpose(0, 2, 1, 3, 4).reshape(h, w, c)
+
+
 def flow_warp(
     x: jnp.ndarray,
     flow: jnp.ndarray,
@@ -243,7 +322,17 @@ def flow_warp(
             f"Spatial sizes of input {x.shape[1:3]} and flow {flow.shape[1:3]} differ"
         )
     h, w = x.shape[1:3]
-    if interpolation == "bilinear" and impl == "padgather":
+    if (
+        interpolation == "bilinear"
+        and impl == "block8"
+        and padding_mode == "zeros"
+        and h % _BLOCK == 0
+        and w % _BLOCK == 0
+    ):
+        # ONLY exact for flows constant over the 8x8 macroblock grid (the
+        # rasterizer's output at uncropped resolutions); callers opt in.
+        return jax.vmap(_warp_single_block8)(x, flow)
+    if interpolation == "bilinear" and impl in ("padgather", "block8"):
         border = padding_mode == "border"
         return jax.vmap(_warp_single_padgather, in_axes=(0, 0, None))(
             x, flow, border

@@ -49,6 +49,7 @@ def train_loop(
     logger: Callable[[str], None] = print,
     start_iter: int = 0,
     save_optimizer: bool = True,
+    metrics_writer=None,
 ) -> TrainState:
     it = iter(loader)
     losses = []
@@ -68,6 +69,8 @@ def train_loop(
                 f"iter {step + 1}/{total_iters} loss={loss:.5f} "
                 f"({ips:.2f} it/s)"
             )
+            if metrics_writer is not None:
+                metrics_writer.scalars(step + 1, loss=loss, iters_per_sec=ips)
 
         if ckpt_manager is not None and (step + 1) % checkpoint_interval == 0:
             ckpt_manager.save(step + 1, state_payload(state, save_optimizer))
@@ -78,6 +81,10 @@ def train_loop(
                 f"iter {step + 1} eval: "
                 + " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
             )
+            if metrics_writer is not None:
+                metrics_writer.scalars(
+                    step + 1, **{f"val/{k}": v for k, v in metrics.items()}
+                )
     if ckpt_manager is not None:
         ckpt_manager.save(
             total_iters, state_payload(state, save_optimizer), wait=True

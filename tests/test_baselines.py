@@ -396,3 +396,42 @@ def test_basicvsr_pp_variants_forward(rng, variant):
     out = model.apply(params, lrs, slices=slices)
     assert out.shape == (1, 5, 256, 256, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize(
+    "typ,kw,scale",
+    [
+        ("EDSR", dict(mid_channels=8, num_blocks=2, upscale_factor=4), 4),
+        ("RRDBNet", dict(mid_channels=8, num_blocks=1, growth_channels=4,
+                         upscale_factor=4), 4),
+        ("MSRResNet", dict(mid_channels=8, num_blocks=2, upscale_factor=4), 4),
+        ("SRCNN", dict(channels=(3, 8, 4, 3), upscale_factor=4), 4),
+    ],
+)
+def test_sisr_zoo(rng, typ, kw, scale):
+    from pnp_vcve_tpu.core.builder import BACKBONES
+
+    model = BACKBONES.build(dict(type=typ, **kw))
+    x = jnp.asarray(rng.random((1, 16, 16, 3), np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (1, 16 * scale, 16 * scale, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_toflow_and_realbasicvsr(rng):
+    from pnp_vcve_tpu.core.builder import BACKBONES
+
+    tof = BACKBONES.build(dict(type="TOFlow"))
+    lrs = jnp.asarray(rng.random((1, 7, 32, 32, 3), np.float32))
+    params = tof.init(jax.random.PRNGKey(0), lrs)
+    out = tof.apply(params, lrs)
+    assert out.shape == (1, 32, 32, 3)
+
+    rb = BACKBONES.build(dict(type="RealBasicVSRNet", mid_channels=8,
+                              num_propagation_blocks=1, num_cleaning_blocks=1))
+    lrs = jnp.asarray(rng.random((1, 3, 16, 16, 3), np.float32))
+    params = rb.init(jax.random.PRNGKey(0), lrs)
+    out = rb.apply(params, lrs)
+    assert out.shape == (1, 3, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()

@@ -194,3 +194,81 @@ def test_dwt_iwt_roundtrip_and_torch_parity(rng):
     # exact invertibility
     r = np.asarray(iwt(jnp.asarray(d)))
     np.testing.assert_allclose(r, x, atol=1e-6)
+
+
+def test_flow_warp_block8_matches_oracle_on_block_flows(rng):
+    """block8 == grid_sample exactly for 8x8-block-constant flows (the MV
+    rasterizer's structure), incl. borders and huge displacements."""
+    n, h, w, c = 2, 24, 32, 5
+    x = rng.standard_normal((n, h, w, c)).astype(np.float32)
+    fb = (rng.standard_normal((n, h // 8, w // 8, 2)) * 9).astype(np.float32)
+    fb[0, 0, 0] = [300.0, -200.0]   # fully outside -> zeros
+    fb[0, 1, 1] = [-3.25, 2.5]      # fractional, near border
+    fb[0, 2, 0] = [0.0, 0.0]
+    flow = np.repeat(np.repeat(fb, 8, axis=1), 8, axis=2)
+
+    expected = (
+        torch_flow_warp(
+            torch.from_numpy(x).permute(0, 3, 1, 2), torch.from_numpy(flow),
+            "bilinear",
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    got = np.asarray(flow_warp(jnp.asarray(x), jnp.asarray(flow), impl="block8"))
+    np.testing.assert_allclose(got, expected, atol=2e-5, rtol=1e-5)
+
+    # non-8-divisible sizes fall back to the generic path (still exact)
+    got2 = np.asarray(
+        flow_warp(jnp.asarray(x[:, :20, :28]), jnp.asarray(flow[:, :20, :28]),
+                  impl="block8")
+    )
+    exp2 = (
+        torch_flow_warp(
+            torch.from_numpy(x[:, :20, :28]).permute(0, 3, 1, 2),
+            torch.from_numpy(flow[:, :20, :28]), "bilinear",
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(got2, exp2, atol=2e-5, rtol=1e-5)
+
+
+def test_fused_bias_leakyrelu(rng):
+    from pnp_vcve_tpu.ops.stylegan2 import fused_bias_leakyrelu
+
+    x = rng.standard_normal((2, 4, 4, 3)).astype(np.float32)
+    b = rng.standard_normal((3,)).astype(np.float32)
+    got = np.asarray(fused_bias_leakyrelu(jnp.asarray(x), jnp.asarray(b)))
+    y = x + b
+    expected = (2**0.5) * np.where(y >= 0, y, 0.2 * y)
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_upfirdn2d_matches_manual(rng):
+    """upfirdn2d == zero-upsample, pad, correlate, downsample (manual numpy
+    reference of the official op)."""
+    from pnp_vcve_tpu.ops.stylegan2 import make_resample_kernel, upfirdn2d
+
+    x = rng.standard_normal((1, 6, 6, 2)).astype(np.float32)
+    k = make_resample_kernel([1, 3, 3, 1])
+    up, down, pad = 2, 1, (2, 1)
+
+    got = np.asarray(upfirdn2d(jnp.asarray(x), jnp.asarray(k), up, down, pad))
+
+    # manual reference
+    n, h, w, c = x.shape
+    ups = np.zeros((n, h * up, w * up, c), np.float32)
+    ups[:, ::up, ::up] = x
+    p = np.pad(ups, ((0, 0), (pad[0], pad[1]), (pad[0], pad[1]), (0, 0)))
+    kh, kw = k.shape
+    oh, ow = p.shape[1] - kh + 1, p.shape[2] - kw + 1
+    ref = np.zeros((n, oh, ow, c), np.float32)
+    for i in range(oh):
+        for j in range(ow):
+            ref[:, i, j] = np.einsum(
+                "nijc,ij->nc", p[:, i : i + kh, j : j + kw], k
+            )
+    ref = ref[:, ::down, ::down]
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-5)

@@ -99,3 +99,23 @@ def test_fix_iter_freezes_prefix():
         )
     ]
     assert max(diffs) > 0
+
+
+def test_paramwise_lr_mult():
+    """paramwise_cfg custom_keys scales matching params' updates (reference
+    spynet lr_mult=0.125, core/optimizer/builder.py:5-58)."""
+    from pnp_vcve_tpu.core.builder import build_optimizer
+
+    tx = build_optimizer(
+        dict(generator=dict(
+            type="Adam", lr=1.0, betas=(0.9, 0.999),
+            paramwise_cfg=dict(custom_keys={"spynet": dict(lr_mult=0.125)}),
+        )),
+        None,
+    )
+    params = {"spynet": {"w": jnp.ones((4,))}, "head": {"w": jnp.ones((4,))}}
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    ratio = float(updates["spynet"]["w"][0] / updates["head"]["w"][0])
+    assert ratio == pytest.approx(0.125, rel=1e-5)

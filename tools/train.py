@@ -190,6 +190,14 @@ def main():
     total_iters = args.total_iters or cfg.total_iters
     seed = args.seed if args.seed is not None else 0
 
+    from pnp_vcve_tpu.utils.logging import TensorboardWriter, collect_env, get_root_logger
+
+    logger = get_root_logger(
+        log_file=os.path.join(cfg.work_dir, "train.log") if cfg.get("work_dir") else None
+    )
+    env = collect_env()
+    logger.info("Environment:\n" + "\n".join(f"  {k}: {v}" for k, v in env.items()))
+
     mesh = make_mesh(sp=cfg.get("mesh", {}).get("sp", 1))
     print(f"devices: {jax.devices()}  mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
@@ -312,6 +320,7 @@ def main():
 
     log_int = cfg.get("log_config", {}).get("interval", 100)
     ckpt_cfg = cfg.get("checkpoint_config", {}) or {}
+    tb = TensorboardWriter(os.path.join(cfg.work_dir, "tb"))
     train_loop(
         state,
         train_step,
@@ -324,8 +333,11 @@ def main():
         eval_fn=eval_fn,
         ckpt_manager=ckpt,
         start_iter=start_iter,
+        logger=logger.info,
+        metrics_writer=tb,
     )
     loader.stop()
+    tb.close()
     ckpt.close()
 
 
