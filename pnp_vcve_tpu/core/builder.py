@@ -167,6 +167,15 @@ def _build_basicvsr_net(**kwargs):
     return BasicVSRNet(**known)
 
 
+@BACKBONES.register(name="IconVSRNet", aliases=("IconVSR",))
+def _build_iconvsr(**kwargs):
+    from pnp_vcve_tpu.models.baselines.basicvsr import IconVSRNet
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "mid_channels", "num_blocks", "keyframe_stride", "padding")}
+    return IconVSRNet(**known)
+
+
 @BACKBONES.register(name="TDANNet")
 def _build_tdan(**kwargs):
     from pnp_vcve_tpu.models.baselines.tdan import TDANNet

@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .packing import pack_conv3x3_kernel_per_tap
 
-__all__ = ["drt_stack_packed", "pack_pf", "unpack_pf", "par_to_pf", "pf_geometry"]
+__all__ = ["drt_stack_packed", "drt_stack_packed_from_pf", "input_conv_pf", "pack_pf", "unpack_pf", "par_to_pf", "pf_geometry"]
 
 PAD_R = 8  # top row pad (orig row r <-> padded row r + PAD_R)
 PAD_C = 8  # left packed-col pad (8-aligned so all stores are aligned)
@@ -291,6 +291,25 @@ def _block_params_packed(blk, b, c2, dtype):
     return w2, b2, pk, w1, b1, g
 
 
+@functools.partial(jax.jit, static_argnames=("th", "h", "w"))
+def drt_stack_packed_from_pf(xpf, par, blocks, h: int, w: int, th: int = 16):
+    """As :func:`drt_stack_packed` but consuming an ALREADY-PF input (e.g.
+    from :func:`input_conv_pf`); returns the unpacked (b, h, w, c) result."""
+    b = xpf.shape[0]
+    HP, WP, _, cols1, cols2 = pf_geometry(h, w, th)
+    if xpf.shape[1] != HP or xpf.shape[2] != WP:
+        raise ValueError(f"PF shape {xpf.shape} != geometry {(HP, WP)}")
+    c2 = xpf.shape[3]
+    parpf = par_to_pf(par, th).astype(xpf.dtype)
+    for blk in blocks:
+        w2, b2, pk, w1, b1, g = _block_params_packed(blk, b, c2, xpf.dtype)
+        xpf = _drt_block_pf(
+            xpf, parpf, w2, b2, pk, w1, b1, g,
+            th=th, h=h, w=w, cols1=cols1, cols2=cols2,
+        )
+    return unpack_pf(xpf, h, w)
+
+
 @functools.partial(jax.jit, static_argnames=("th",))
 def drt_stack_packed(x, par, blocks, th: int = 16):
     """Run N chained DRT blocks with one pack / one unpack.
@@ -317,3 +336,161 @@ def drt_stack_packed(x, par, blocks, th: int = 16):
             th=th, h=h, w=w, cols1=cols1, cols2=cols2,
         )
     return unpack_pf(xpf, h, w)
+
+
+def _input_conv_kernel(
+    *refs, th, cols2, wh, n_parts, h,
+):
+    """Packed fused input conv: PF out tile = lrelu(sum_p conv3x3(part_p)).
+
+    Tiling contract (asserted by the wrapper): th == PAD_R == 8 and
+    h % 8 == 0, so PF out tile ri covers orig rows [(ri-1)*8, ri*8) — tiles
+    0 and n-1 are pure pad (written as zeros), tile 1 / n-2 zero-fill one
+    context row, everything else DMAs th+2 full rows.
+    """
+    part_hbm = refs[:n_parts]
+    w_refs = refs[n_parts : 2 * n_parts]
+    b_ref = refs[2 * n_parts]
+    o_ref = refs[2 * n_parts + 1]
+    bands = refs[2 * n_parts + 2 : 3 * n_parts + 2]
+    sems = refs[3 * n_parts + 2]
+
+    bi = pl.program_id(0)
+    ri = pl.program_id(1)
+    n = pl.num_programs(1)
+    c2 = o_ref.shape[3]
+
+    @pl.when((ri == 0) | (ri == n - 1))
+    def _():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    @pl.when((ri > 0) & (ri < n - 1))
+    def _():
+        s = ri * th - 9
+        for p in range(n_parts):
+            band = bands[p]
+
+            @pl.when(ri == 1)
+            def _():
+                band[0:1] = jnp.zeros_like(band[0:1])
+                d = pltpu.make_async_copy(
+                    part_hbm[p].at[bi, pl.ds(0, th + 1)],
+                    band.at[pl.ds(1, th + 1), pl.ds(1, wh)],
+                    sems.at[p],
+                )
+                d.start()
+                d.wait()
+
+            @pl.when(ri == n - 2)
+            def _():
+                band[th + 1 : th + 2] = jnp.zeros_like(band[th + 1 : th + 2])
+                d = pltpu.make_async_copy(
+                    part_hbm[p].at[bi, pl.ds(s, th + 1)],
+                    band.at[pl.ds(0, th + 1), pl.ds(1, wh)],
+                    sems.at[p],
+                )
+                d.start()
+                d.wait()
+
+            @pl.when((ri > 1) & (ri < n - 2))
+            def _():
+                d = pltpu.make_async_copy(
+                    part_hbm[p].at[bi, pl.ds(s, th + 2)],
+                    band.at[pl.ds(0, th + 2), pl.ds(1, wh)],
+                    sems.at[p],
+                )
+                d.start()
+                d.wait()
+
+        acc = jnp.zeros((th * cols2, c2), jnp.float32)
+        for p in range(n_parts):
+            band = bands[p]
+            # zero the context columns the DMA never writes (orig packed
+            # col -1 on the left, cols >= wh on the right)
+            band[:, 0:1] = jnp.zeros_like(band[:, 0:1])
+            band[:, 1 + wh :] = jnp.zeros_like(band[:, 1 + wh :])
+            for dy in range(3):
+                for k in range(3):
+                    win = band[dy : dy + th, k : k + cols2].reshape(
+                        th * cols2, band.shape[2]
+                    )
+                    acc = acc + jnp.dot(
+                        win, w_refs[p][0, dy, k],
+                        preferred_element_type=jnp.float32,
+                    )
+        acc = acc + b_ref[0, 0].astype(jnp.float32)
+        acc = jnp.where(acc >= 0, acc, 0.1 * acc)  # leaky_relu(0.1)
+        acc = acc.reshape(th, cols2, c2).astype(o_ref.dtype)
+        o_ref[0, :, 0:PAD_C] = jnp.zeros((th, PAD_C, c2), o_ref.dtype)
+        o_ref[0, :, PAD_C : PAD_C + cols2] = acc
+        o_ref[0, :, PAD_C + cols2 :] = jnp.zeros(
+            (th, o_ref.shape[2] - PAD_C - cols2, c2), o_ref.dtype
+        )
+
+
+def input_conv_pf(parts, kernel, bias, cout: int = 64):
+    """Fused BAE input conv emitting PF directly.
+
+    ``conv(concat(parts))`` as a sum of per-part packed convolutions with
+    the leaky_relu fused — replaces an XLA conv chain that lands in a
+    1-sublane layout next to the warp ops (measured ~31 ms/frame at 720p vs
+    the packed-MXU cost of ~3 ms).
+
+    Args:
+      parts: sequence of (b, h, w, c_p) NHWC arrays; channels sum to
+        ``kernel.shape[2]``. Requires h % 8 == 0 and w/2 % 8 == 0.
+      kernel: (3, 3, cin_total, cout) HWIO; bias: (cout,).
+    Returns: PF (b, HP, WP, 2*cout) bfloat-typed like parts[0].
+    """
+    b, h, w, _ = parts[0].shape
+    th = PAD_R  # the tiling contract hard-wires th == PAD_R == 8
+    if h % th or (w // 2) % 8 or w % 2:
+        raise ValueError(f"need h%8==0 and (w/2)%8==0, got {h}x{w}")
+    HP, WP, wh, cols1, cols2 = pf_geometry(h, w, th)
+    if cols2 != wh:
+        raise ValueError(f"need aligned wh, got wh={wh}, cols2={cols2}")
+    dtype = parts[0].dtype
+    c2 = 2 * cout
+
+    packed_parts = []
+    w_parts = []
+    off = 0
+    for part in parts:
+        cp = part.shape[-1]
+        packed_parts.append(part.reshape(b, h, wh, 2 * cp))
+        kp = pack_conv3x3_kernel_per_tap(
+            kernel[:, :, off : off + cp, :].astype(dtype)
+        )  # (3, 3, 2cp, 2cout)
+        w_parts.append(kp[None])
+        off += cp
+    if off != kernel.shape[2]:
+        raise ValueError("part channels do not sum to kernel cin")
+    b_packed = jnp.concatenate([bias, bias]).reshape(1, 1, c2).astype(jnp.float32)
+    b_packed = jnp.broadcast_to(b_packed, (b, 1, c2))
+
+    kern = functools.partial(
+        _input_conv_kernel, th=th, cols2=cols2, wh=wh,
+        n_parts=len(parts), h=h,
+    )
+    # weights are shared across the batch: block index (0,...)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * len(parts) + [
+        pl.BlockSpec((1, 3, 3, wp.shape[3], c2), lambda bi, ri: (0, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for wp in w_parts
+    ] + [pl.BlockSpec((1, 1, c2), lambda bi, ri: (bi, 0, 0), memory_space=pltpu.VMEM)]
+
+    return pl.pallas_call(
+        kern,
+        grid=(b, HP // th),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, th, WP, c2), lambda bi, ri: (bi, ri, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, HP, WP, c2), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, cols2 + 8, 2 * p.shape[-1]), dtype)
+            for p in parts
+        ] + [pltpu.SemaphoreType.DMA((len(parts),))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(*packed_parts, *w_parts, b_packed)

@@ -254,6 +254,49 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
             torch_conv_bias_default(9 * self.in_channels),
             (self.out_channels,),
         )
+        h_, w_ = x[0].shape[1:3] if isinstance(x, (tuple, list)) else x.shape[1:3]
+        hp_ = -(-(h_ + 16) // self.pallas_th) * self.pallas_th
+        # the PF emitted by input_conv_pf (th=8 tiling) must line up with
+        # the stack's th-tiled grid: (h+16) divisible by both
+        pf_fast = (
+            self.use_pallas
+            and self.one_layer
+            and self.channel_first
+            and isinstance(x, (tuple, list))
+            and h_ % 8 == 0
+            and w_ % 16 == 0
+            and hp_ // self.pallas_th >= 2
+            and self.pallas_th % 8 == 0
+            and (h_ + 16) % self.pallas_th == 0
+        )
+        if pf_fast:
+            # fully-fused PF pipeline: packed input conv (kernels
+            # input_conv_pf) -> chained PF blocks; no XLA conv in a
+            # warp-dictated layout (measured ~31 ms/frame at 720p)
+            from pnp_vcve_tpu.kernels.drt_stack import (
+                drt_stack_packed_from_pf,
+                input_conv_pf,
+            )
+
+            xpf = input_conv_pf(list(x), kernel, bias, cout=self.out_channels)
+            blocks = [
+                DRTBlock(
+                    mid_channels=self.out_channels,
+                    num_experts=self.num_experts,
+                    with_se=self.with_se,
+                    one_layer=self.one_layer,
+                    channel_first=self.channel_first,
+                    use_dynamic=self.use_dynamic,
+                    use_pallas=self.use_pallas,
+                    pallas_th=self.pallas_th,
+                    name=f"block{i}",
+                )
+                for i in range(self.num_blocks)
+            ]
+            params = [blk.packed_inputs(weights, gamma) for blk in blocks]
+            return drt_stack_packed_from_pf(
+                xpf, par, params, h=h_, w=w_, th=self.pallas_th
+            )
         if isinstance(x, (tuple, list)):
             import jax
 

@@ -20,7 +20,7 @@ from pnp_vcve_tpu.ops.upsample import pixel_shuffle
 from pnp_vcve_tpu.ops.dynamic_conv import conv2d_nhwc
 from .basicvsr_pp import ResidualBlocksWithInputConv
 
-__all__ = ["PCDAlignment", "TSAFusion", "EDVRNet"]
+__all__ = ["PCDAlignment", "TSAFusion", "EDVRNet", "EDVRFeatureExtractor"]
 
 
 def _lrelu(x):
@@ -211,3 +211,40 @@ class EDVRNet(nn.Module):
             lrs[:, center], (b, 4 * h, 4 * w, c_in), "bilinear"
         )
         return out + base
+
+
+class EDVRFeatureExtractor(nn.Module):
+    """EDVR-M up to fused features — the information-refill extractor of
+    IconVSR (reference iconvsr.py:528-653): feature pyramid + PCD alignment
+    to the center frame + TSA fusion, returning (b, h, w, c) features."""
+
+    mid_channels: int = 64
+    num_frames: int = 5
+    deform_groups: int = 8
+    num_blocks_extraction: int = 5
+
+    @nn.compact
+    def __call__(self, lrs):
+        b, t, h, w, c_in = lrs.shape
+        c = self.mid_channels
+        center = self.num_frames // 2
+
+        l1 = ResidualBlocksWithInputConv(
+            c, self.num_blocks_extraction, name="feat_extract"
+        )(lrs.reshape(b * t, h, w, c_in))
+        l2 = _lrelu(nn.Conv(c, (3, 3), strides=(2, 2), padding="SAME",
+                            name="feat_l2_conv1")(l1))
+        l2 = _lrelu(nn.Conv(c, (3, 3), padding="SAME", name="feat_l2_conv2")(l2))
+        l3 = _lrelu(nn.Conv(c, (3, 3), strides=(2, 2), padding="SAME",
+                            name="feat_l3_conv1")(l2))
+        l3 = _lrelu(nn.Conv(c, (3, 3), padding="SAME", name="feat_l3_conv2")(l3))
+
+        l1 = l1.reshape(b, t, h, w, c)
+        l2 = l2.reshape(b, t, h // 2, w // 2, c)
+        l3 = l3.reshape(b, t, h // 4, w // 4, c)
+        ref = [l1[:, center], l2[:, center], l3[:, center]]
+        pcd = PCDAlignment(c, self.deform_groups, name="pcd_alignment")
+        aligned = jnp.stack(
+            [pcd([l1[:, i], l2[:, i], l3[:, i]], ref) for i in range(t)], axis=1
+        )
+        return TSAFusion(c, self.num_frames, center, name="fusion")(aligned)

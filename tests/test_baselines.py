@@ -435,3 +435,27 @@ def test_toflow_and_realbasicvsr(rng):
     out = rb.apply(params, lrs)
     assert out.shape == (1, 3, 64, 64, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_iconvsr_refill(rng):
+    """IconVSR with EDVR information refill (iconvsr.py:15-265)."""
+    from pnp_vcve_tpu.core.builder import BACKBONES
+
+    model = BACKBONES.build(dict(type="IconVSRNet", mid_channels=8,
+                                 num_blocks=1, keyframe_stride=3))
+    lrs = jnp.asarray(rng.random((1, 7, 16, 16, 3), np.float32))
+    params = model.init(jax.random.PRNGKey(0), lrs)
+    out = model.apply(params, lrs)
+    assert out.shape == (1, 7, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # refill must engage: zeroing the EDVR params changes the output
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params["params"])
+    zeroed = {
+        k: (jnp.zeros_like(v) if k[0] == "edvr" else v) for k, v in flat.items()
+    }
+    params2 = {"params": flax.traverse_util.unflatten_dict(zeroed)}
+    out2 = model.apply(params2, lrs)
+    assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-7

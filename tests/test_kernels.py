@@ -259,3 +259,26 @@ def test_model_pallas_stack_path_matches_xla(rng):
     pallas_model = PnPVCVE(**kw, use_pallas_kernels=True)
     got = pallas_model.apply(params, lrs, qps, slices, mvs, base_qps, par)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4, rtol=1e-4)
+
+
+def test_model_pallas_pf_input_conv_path(rng):
+    """PF-compatible shapes route through input_conv_pf + the PF stack and
+    must match the XLA path ((h+16) % th == 0, w % 16 == 0)."""
+    from pnp_vcve_tpu.models import PnPVCVE
+
+    b, t, h, w = 1, 2, 32, 32
+    lrs = jnp.asarray(rng.random((b, t, h, w, 3), np.float32))
+    qps = jnp.asarray(rng.random((b, t), np.float32))
+    slices = jnp.asarray(np.where(rng.random((b, t)) < 0.5, 73.0, 66.0))
+    mvs = jnp.asarray(rng.standard_normal((b, t, h, w, 4)).astype(np.float32))
+    base_qps = jnp.full((b, t), 15.0 / 255.0)
+    par = jnp.asarray((rng.random((b, t, h, w, 3)) > 0.5).astype(np.float32) / 255.0)
+
+    kw = dict(mid_channels=8, num_blocks=2, num_experts=2, remat=False)
+    ref_model = PnPVCVE(**kw, use_pallas_kernels=False)
+    params = ref_model.init(jax.random.PRNGKey(0), lrs, qps, slices, mvs, base_qps, par)
+    expected = ref_model.apply(params, lrs, qps, slices, mvs, base_qps, par)
+
+    pallas_model = PnPVCVE(**kw, use_pallas_kernels=True)
+    got = pallas_model.apply(params, lrs, qps, slices, mvs, base_qps, par)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=3e-4, rtol=1e-4)

@@ -79,6 +79,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--parse", default=None, help="parse an existing trace dir")
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--warp", default="block8", help="padgather|blockgather|block8")
     ap.add_argument("--blocks", type=int, default=8)
     ap.add_argument("--t", type=int, default=12)
     ap.add_argument("--hw", type=int, nargs=2, default=(720, 1280))
@@ -108,6 +109,7 @@ def main():
         feature_dtype=jnp.bfloat16,
         use_pallas_kernels=args.pallas,
         num_blocks=args.blocks,
+        warp_impl=args.warp,
     )
     inputs = bench.make_inputs(b, t, h, w, dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), **inputs)
