@@ -453,6 +453,51 @@ def _build_davis_train(
     )
 
 
+@DATASETS.register(name="LDPPQFDataset", aliases=("LDPNonPQFDataset",))
+def _build_ldp(
+    lq_folder,
+    gt_folder,
+    cprs15_folder,
+    cprs25_folder,
+    cprs35_folder,
+    pipeline=None,
+    scale=1,
+    test_mode=False,
+    centers=None,
+    type=None,
+    _type_name=None,
+    **kwargs,
+):
+    """LDP PQF / non-PQF triple datasets for the MFQE two-model protocol
+    (reference ldp_dataset.py:11-245). The registered alias picks the
+    center class; ``centers`` overrides explicitly."""
+    import os
+
+    from pnp_vcve_tpu.data.datasets import ClipIndex
+    from pnp_vcve_tpu.data.ldp import LDPTripleDataset
+
+    names = sorted(d.name for d in os.scandir(lq_folder) if d.is_dir())
+    seq = kwargs.get("sequence_length", 100)
+    clips = [ClipIndex(n, seq) for n in names]
+    p = _pipeline_params(pipeline)
+    if centers is None:
+        centers = "nonpqf" if (_type_name or "").startswith("LDPNonPQF") else "pqf"
+    return LDPTripleDataset(
+        lq_folder=lq_folder,
+        gt_folder=gt_folder,
+        cprs15_folder=cprs15_folder,
+        cprs25_folder=cprs25_folder,
+        cprs35_folder=cprs35_folder,
+        qp_slice_file=p["qp_slice_file"],
+        clips=clips,
+        centers=centers,
+        scale=scale,
+        gt_patch_size=p["gt_patch_size"],
+        filename_tmpl=p["filename_tmpl"],
+        data_ratio=p["data_ratio"],
+    )
+
+
 @DATASETS.register(name="BigMultipleGTMixCompressDataset")
 def _build_big_train(
     lq_folder,

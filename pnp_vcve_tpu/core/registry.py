@@ -34,10 +34,21 @@ class Registry:
         return self._map[name]
 
     def build(self, cfg: dict, **extra) -> Any:
-        """Instantiate from a {'type': name, ...kwargs} dict."""
+        """Instantiate from a {'type': name, ...kwargs} dict. Builders that
+        declare a ``_type_name`` parameter receive the requested type name
+        (so one builder can serve several aliases, e.g. the LDP PQF /
+        non-PQF pair)."""
+        import inspect
+
         cfg = dict(cfg)
         typ = cfg.pop("type")
-        return self.get(typ)(**cfg, **extra)
+        fn = self.get(typ)
+        try:
+            if "_type_name" in inspect.signature(fn).parameters:
+                extra = {**extra, "_type_name": typ}
+        except (TypeError, ValueError):
+            pass
+        return fn(**cfg, **extra)
 
     def __contains__(self, name: str) -> bool:
         return name in self._map

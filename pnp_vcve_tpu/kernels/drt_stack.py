@@ -375,7 +375,7 @@ def _input_conv_kernel(
                 band[0:1] = jnp.zeros_like(band[0:1])
                 d = pltpu.make_async_copy(
                     part_hbm[p].at[bi, pl.ds(0, th + 1)],
-                    band.at[pl.ds(1, th + 1), pl.ds(1, wh)],
+                    band.at[pl.ds(1, th + 1), pl.ds(8, wh)],
                     sems.at[p],
                 )
                 d.start()
@@ -386,7 +386,7 @@ def _input_conv_kernel(
                 band[th + 1 : th + 2] = jnp.zeros_like(band[th + 1 : th + 2])
                 d = pltpu.make_async_copy(
                     part_hbm[p].at[bi, pl.ds(s, th + 1)],
-                    band.at[pl.ds(0, th + 1), pl.ds(1, wh)],
+                    band.at[pl.ds(0, th + 1), pl.ds(8, wh)],
                     sems.at[p],
                 )
                 d.start()
@@ -396,7 +396,7 @@ def _input_conv_kernel(
             def _():
                 d = pltpu.make_async_copy(
                     part_hbm[p].at[bi, pl.ds(s, th + 2)],
-                    band.at[pl.ds(0, th + 2), pl.ds(1, wh)],
+                    band.at[pl.ds(0, th + 2), pl.ds(8, wh)],
                     sems.at[p],
                 )
                 d.start()
@@ -405,13 +405,15 @@ def _input_conv_kernel(
         acc = jnp.zeros((th * cols2, c2), jnp.float32)
         for p in range(n_parts):
             band = bands[p]
-            # zero the context columns the DMA never writes (orig packed
-            # col -1 on the left, cols >= wh on the right)
-            band[:, 0:1] = jnp.zeros_like(band[:, 0:1])
-            band[:, 1 + wh :] = jnp.zeros_like(band[:, 1 + wh :])
+            # zero the context columns the DMA never writes (8 left cols
+            # for sublane-aligned DMA offsets; right cols >= wh)
+            band[:, 0:8] = jnp.zeros_like(band[:, 0:8])
+            band[:, 8 + wh :] = jnp.zeros_like(band[:, 8 + wh :])
             for dy in range(3):
                 for k in range(3):
-                    win = band[dy : dy + th, k : k + cols2].reshape(
+                    # band col of orig packed col j is j + 8; window cols
+                    # for output pair j2 are j2-1..j2+1 -> base offset 7
+                    win = band[dy : dy + th, k + 7 : k + 7 + cols2].reshape(
                         th * cols2, band.shape[2]
                     )
                     acc = acc + jnp.dot(
@@ -457,10 +459,18 @@ def input_conv_pf(parts, kernel, bias, cout: int = 64):
     off = 0
     for part in parts:
         cp = part.shape[-1]
-        packed_parts.append(part.reshape(b, h, wh, 2 * cp))
+        pk = part.reshape(b, h, wh, 2 * cp)
         kp = pack_conv3x3_kernel_per_tap(
             kernel[:, :, off : off + cp, :].astype(dtype)
         )  # (3, 3, 2cp, 2cout)
+        if 2 * cp < 128:
+            # Mosaic DMA slices must be lane-aligned (128): pad narrow
+            # parts (e.g. the 3-channel lr) with zero lanes + zero kernel
+            # rows — identical math
+            pad = 128 - 2 * cp
+            pk = jnp.pad(pk, ((0, 0), (0, 0), (0, 0), (0, pad)))
+            kp = jnp.pad(kp, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        packed_parts.append(pk)
         w_parts.append(kp[None])
         off += cp
     if off != kernel.shape[2]:
@@ -487,10 +497,99 @@ def input_conv_pf(parts, kernel, bias, cout: int = 64):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, HP, WP, c2), dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, cols2 + 8, 2 * p.shape[-1]), dtype)
+            pltpu.VMEM((th + 2, cols2 + 16, max(2 * p.shape[-1], 128)), dtype)
             for p in parts
         ] + [pltpu.SemaphoreType.DMA((len(parts),))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(*packed_parts, *w_parts, b_packed)
+
+
+# ---- training support: fused forward, reference backward ------------------
+#
+# The Pallas kernels are numerically identical to the XLA op composition
+# (kernel tests pin them together), so a jax.custom_vjp can run the FUSED
+# kernels on the forward pass and differentiate the XLA composition on the
+# backward pass: training gets the 3x faster forward while gradients stay
+# exactly those of the reference math.
+
+
+def _xla_block_compose(x, par, blocks):
+    """Pure-XLA DRT chain (DRTBlock channel_first/one_layer semantics)."""
+    from pnp_vcve_tpu.ops.dynamic_conv import conv2d_nhwc, dynamic_conv2d
+
+    for blk in blocks:
+        dyres = None
+        for r in range(3):
+            gated = x * par[..., r : r + 1].astype(x.dtype)
+            term = jnp.einsum(
+                "bhwi,io->bhwo", gated, blk["par_kernel"][:, r].astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            dyres = term if dyres is None else dyres + term
+        dyn = dynamic_conv2d(
+            x, blk["dyn_kernels"], blk["dyn_biases"], gamma=blk["gamma"]
+        ).astype(jnp.float32)
+        hmid = jax.nn.relu(dyn + dyres).astype(x.dtype)
+        out = conv2d_nhwc(hmid, blk["conv1_kernel"], blk["conv1_bias"])
+        x = x + out
+    return x
+
+
+def make_trainable_stack(th: int):
+    """``f(x, par, blocks)``: Pallas-fused forward, XLA-composition VJP."""
+
+    @jax.custom_vjp
+    def f(x, par, blocks):
+        return drt_stack_packed(x, par, blocks, th=th)
+
+    def fwd(x, par, blocks):
+        return f(x, par, blocks), (x, par, blocks)
+
+    def bwd(res, g):
+        x, par, blocks = res
+        _, vjp = jax.vjp(_xla_block_compose, x, par, blocks)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _xla_input_stack_compose(parts, kernel, bias, par, blocks):
+    from pnp_vcve_tpu.ops.dynamic_conv import conv2d_nhwc
+
+    acc = None
+    off = 0
+    for part in parts:
+        cin = part.shape[-1]
+        term = jax.lax.conv_general_dilated(
+            part, kernel[:, :, off : off + cin, :].astype(part.dtype),
+            (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        acc = term if acc is None else acc + term
+        off += cin
+    feat = jax.nn.leaky_relu(acc + bias, negative_slope=0.1).astype(parts[0].dtype)
+    return _xla_block_compose(feat, par, blocks)
+
+
+def make_trainable_input_stack(th: int, h: int, w: int, cout: int):
+    """``f(parts, kernel, bias, par, blocks)``: fused input conv + PF stack
+    forward, XLA-composition VJP."""
+
+    @jax.custom_vjp
+    def f(parts, kernel, bias, par, blocks):
+        xpf = input_conv_pf(list(parts), kernel, bias, cout=cout)
+        return drt_stack_packed_from_pf(xpf, par, blocks, h=h, w=w, th=th)
+
+    def fwd(parts, kernel, bias, par, blocks):
+        return f(parts, kernel, bias, par, blocks), (parts, kernel, bias, par, blocks)
+
+    def bwd(res, g):
+        parts, kernel, bias, par, blocks = res
+        _, vjp = jax.vjp(_xla_input_stack_compose, parts, kernel, bias, par, blocks)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f

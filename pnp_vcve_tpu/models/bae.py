@@ -273,12 +273,8 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
             # fully-fused PF pipeline: packed input conv (kernels
             # input_conv_pf) -> chained PF blocks; no XLA conv in a
             # warp-dictated layout (measured ~31 ms/frame at 720p)
-            from pnp_vcve_tpu.kernels.drt_stack import (
-                drt_stack_packed_from_pf,
-                input_conv_pf,
-            )
+            from pnp_vcve_tpu.kernels.drt_stack import make_trainable_input_stack
 
-            xpf = input_conv_pf(list(x), kernel, bias, cout=self.out_channels)
             blocks = [
                 DRTBlock(
                     mid_channels=self.out_channels,
@@ -294,9 +290,11 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
                 for i in range(self.num_blocks)
             ]
             params = [blk.packed_inputs(weights, gamma) for blk in blocks]
-            return drt_stack_packed_from_pf(
-                xpf, par, params, h=h_, w=w_, th=self.pallas_th
+            # fused Pallas forward, XLA-composition backward (trainable)
+            fused = make_trainable_input_stack(
+                self.pallas_th, h_, w_, self.out_channels
             )
+            return fused(tuple(x), kernel, bias, par, params)
         if isinstance(x, (tuple, list)):
             import jax
 
@@ -347,11 +345,13 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
             and hp // th >= 2
         ):
             # chained PF kernels: one pack, N fused blocks, one unpack —
-            # no per-block XLA pads/reshapes (kernels/drt_stack.py)
-            from pnp_vcve_tpu.kernels.drt_stack import drt_stack_packed
+            # no per-block XLA pads/reshapes (kernels/drt_stack.py); the
+            # custom VJP differentiates the XLA composition, so this path
+            # is trainable
+            from pnp_vcve_tpu.kernels.drt_stack import make_trainable_stack
 
             params = [blk.packed_inputs(weights, gamma) for blk in blocks]
-            return drt_stack_packed(feat, par, params, th=th)
+            return make_trainable_stack(th)(feat, par, params)
 
         for blk in blocks:
             feat = blk(feat, par, weights, gamma)

@@ -298,3 +298,29 @@ def test_big_dataset_builder(dataset_root):
     s = ds.sample(np.random.default_rng(0))
     assert s["lq"].shape == (3, 16, 16, 3)
     assert s["gt"].shape == (3, 16, 16, 3)
+
+
+def test_ldp_builder_aliases(dataset_root):
+    """LDPPQFDataset / LDPNonPQFDataset resolve through the registry with
+    the right center class (MFQE two-model protocol, ldp_dataset.py)."""
+    from pnp_vcve_tpu.core.builder import build_dataset
+
+    common = dict(
+        lq_folder=str(dataset_root / "crf15" / "png"),
+        gt_folder=str(dataset_root / "sharp" / "png"),
+        cprs15_folder=str(dataset_root / "crf15" / "png"),
+        cprs25_folder=str(dataset_root / "crf25" / "png"),
+        cprs35_folder=str(dataset_root / "crf35" / "png"),
+        sequence_length=T_FRAMES,
+        pipeline=[
+            dict(type="LoadImageFromFileList_Mix_Compress_ipb", key="lq",
+                 qp_slice_file=str(dataset_root / "qp.json")),
+            dict(type="PairedRandomCrop_mv", gt_patch_size=16),
+        ],
+        scale=1,
+    )
+    pqf = build_dataset(dict(type="LDPPQFDataset", **common))
+    non = build_dataset(dict(type="LDPNonPQFDataset", **common))
+    assert pqf.centers == "pqf" and non.centers == "nonpqf"
+    s = non.sample(np.random.default_rng(0))
+    assert s["lq"].shape == (3, 16, 16, 3) and s["gt"].shape == (1, 16, 16, 3)

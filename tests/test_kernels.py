@@ -282,3 +282,37 @@ def test_model_pallas_pf_input_conv_path(rng):
     pallas_model = PnPVCVE(**kw, use_pallas_kernels=True)
     got = pallas_model.apply(params, lrs, qps, slices, mvs, base_qps, par)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=3e-4, rtol=1e-4)
+
+
+def test_trainable_stack_grads_match_xla(rng):
+    """custom-VJP fused stack: gradients == XLA composition gradients."""
+    from pnp_vcve_tpu.models import PnPVCVE
+
+    b, t, h, w = 1, 2, 32, 32
+    lrs = jnp.asarray(rng.random((b, t, h, w, 3), np.float32))
+    qps = jnp.asarray(rng.random((b, t), np.float32))
+    slices = jnp.full((b, t), 73.0)
+    mvs = jnp.asarray(rng.standard_normal((b, t, h, w, 4)).astype(np.float32))
+    base_qps = jnp.full((b, t), 15.0 / 255.0)
+    par = jnp.asarray((rng.random((b, t, h, w, 3)) > 0.5).astype(np.float32) / 255.0)
+    gt = jnp.asarray(rng.random((b, t, h, w, 3), np.float32))
+
+    kw = dict(mid_channels=8, num_blocks=2, num_experts=2, remat=False)
+    ref_model = PnPVCVE(**kw, use_pallas_kernels=False)
+    params = ref_model.init(jax.random.PRNGKey(0), lrs, qps, slices, mvs, base_qps, par)
+    pallas_model = PnPVCVE(**kw, use_pallas_kernels=True)
+
+    def loss(model, p):
+        out = model.apply(p, lrs, qps, slices, mvs, base_qps, par)
+        return jnp.mean((out - gt) ** 2)
+
+    g_ref = jax.grad(lambda p: loss(ref_model, p))(params)
+    g_pal = jax.grad(lambda p: loss(pallas_model, p))(params)
+    for (kp, a), (_, b2) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_pal),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b2), atol=2e-4, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(kp),
+        )

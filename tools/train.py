@@ -249,8 +249,18 @@ def main():
         state = state.replace(params=jax.device_put(params, replicated(mesh)))
         print(f"loaded weights from {args.load_from}")
 
-    fix_iter = cfg.get("train_cfg", {}).get("fix_iter", 0) or 0
-    train_step = make_train_step(model, restorer.loss_fn(), fix_iter=fix_iter)
+    tr_cfg = cfg.get("train_cfg", {}) or {}
+    # fix_iter freezes SPyNet/EDVR-style submodules for the warmup
+    # (reference basicvsr.py:95-103 / mfqev2_restorer.py fix_spynet_iter);
+    # the prefixes are configurable (default: the reference's frozen nets)
+    fix_iter = tr_cfg.get("fix_iter", tr_cfg.get("fix_spynet_iter", 0)) or 0
+    freeze_prefixes = tuple(
+        tr_cfg.get("freeze_prefixes", ("spynet", "edvr"))
+    )
+    train_step = make_train_step(
+        model, restorer.loss_fn(), fix_iter=fix_iter,
+        freeze_prefixes=freeze_prefixes,
+    )
 
     loader = PrefetchLoader(
         mixture,
