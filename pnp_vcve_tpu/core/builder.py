@@ -234,6 +234,16 @@ def _build_srcnn(**kwargs):
     return SRCNN(**known)
 
 
+@BACKBONES.register(name="RDN")
+def _build_rdn(**kwargs):
+    from pnp_vcve_tpu.models.baselines.sisr import RDN
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "in_channels", "out_channels", "mid_channels", "num_blocks",
+        "num_layers", "channel_growth", "upscale_factor")}
+    return RDN(**known)
+
+
 @BACKBONES.register(name="TOFlow", aliases=("TOF",))
 def _build_toflow(**kwargs):
     from pnp_vcve_tpu.models.baselines.tof import TOFlow
@@ -250,6 +260,50 @@ def _build_real_basicvsr(**kwargs):
         "mid_channels", "num_propagation_blocks", "num_cleaning_blocks",
         "dynamic_refine_thres", "is_fix_cleaning", "is_sequential_cleaning")}
     return RealBasicVSRNet(**known)
+
+
+@BACKBONES.register(name="ResnetGenerator")
+def _build_resnet_gen(**kwargs):
+    from pnp_vcve_tpu.models.upstream import ResnetGenerator
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "in_channels", "out_channels", "base_channels", "num_blocks")}
+    return ResnetGenerator(**known)
+
+
+@BACKBONES.register(name="UnetGenerator")
+def _build_unet_gen(**kwargs):
+    from pnp_vcve_tpu.models.upstream import UnetGenerator
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "in_channels", "out_channels", "num_down", "base_channels")}
+    return UnetGenerator(**known)
+
+
+@BACKBONES.register(name="GLEncoderDecoder")
+def _build_gl_inpaintor(**kwargs):
+    from pnp_vcve_tpu.models.upstream import GLEncoderDecoder
+
+    known = {k: v for k, v in kwargs.items() if k in ("in_channels", "mid_channels")}
+    return GLEncoderDecoder(**known)
+
+
+@BACKBONES.register(name="DIMMattor", aliases=("DIM",))
+def _build_dim(**kwargs):
+    from pnp_vcve_tpu.models.upstream import DIMMattor
+
+    known = {k: v for k, v in kwargs.items() if k in ("base_channels", "with_refiner")}
+    return DIMMattor(**known)
+
+
+@BACKBONES.register(name="StyleGAN2Generator", aliases=("StyleGANv2Generator",))
+def _build_stylegan2_gen(**kwargs):
+    from pnp_vcve_tpu.models.upstream import StyleGAN2Generator
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "out_size", "style_channels", "channel_multiplier", "num_mlps",
+        "max_channels")}
+    return StyleGAN2Generator(**known)
 
 
 @BACKBONES.register(name="DenseMWNetMiniPSNR", aliases=("DenseMWNet_Mini_PSNR",))
@@ -276,6 +330,24 @@ def _build_dcngan_disc(**kwargs):
 
     known = {k: v for k, v in kwargs.items() if k in ("d",)}
     return DCNGANDiscriminator(**known)
+
+
+@COMPONENTS.register(name="StyleGAN2Discriminator", aliases=("StyleGANv2Discriminator",))
+def _build_stylegan2_disc(**kwargs):
+    from pnp_vcve_tpu.models.upstream import StyleGAN2Discriminator
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "in_size", "channel_multiplier", "max_channels")}
+    return StyleGAN2Discriminator(**known)
+
+
+@COMPONENTS.register(name="PatchDiscriminator")
+def _build_patch_disc(**kwargs):
+    from pnp_vcve_tpu.models.upstream import PatchDiscriminator
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "in_channels", "base_channels", "num_conv")}
+    return PatchDiscriminator(**known)
 
 
 def build_discriminator(cfg: dict):

@@ -23,7 +23,7 @@ import numpy as np
 from pnp_vcve_tpu.ops.upsample import pixel_shuffle
 from pnp_vcve_tpu.ops.resize import resize_bilinear
 
-__all__ = ["EDSR", "RRDBNet", "MSRResNet", "SRCNN"]
+__all__ = ["EDSR", "RRDBNet", "MSRResNet", "SRCNN", "RDN"]
 
 
 def _resize(x, scale, method):
@@ -183,3 +183,60 @@ class SRCNN(nn.Module):
             if i < len(self.kernel_sizes) - 1:
                 x = nn.relu(x)
         return x
+
+
+class _RDB(nn.Module):
+    """Residual dense block: N dense layers + 1x1 local fusion + residual
+    (rdn.py:36-68)."""
+
+    mid_channels: int = 64
+    growth: int = 64
+    num_layers: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        feats = [x]
+        for i in range(self.num_layers):
+            y = nn.relu(nn.Conv(self.growth, (3, 3), padding="SAME",
+                                name=f"dense{i}")(jnp.concatenate(feats, -1)))
+            feats.append(y)
+        fused = nn.Conv(self.mid_channels, (1, 1), name="lff")(
+            jnp.concatenate(feats, -1)
+        )
+        return x + fused
+
+
+class RDN(nn.Module):
+    """Residual Dense Network (rdn.py:71-180): shallow features, D RDBs,
+    global fusion over all block outputs, pixel-shuffle upsample."""
+
+    in_channels: int = 3
+    out_channels: int = 3
+    mid_channels: int = 64
+    num_blocks: int = 16
+    num_layers: int = 8
+    channel_growth: int = 64
+    upscale_factor: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        sfe1 = nn.Conv(self.mid_channels, (3, 3), padding="SAME", name="sfe1")(x)
+        y = nn.Conv(self.mid_channels, (3, 3), padding="SAME", name="sfe2")(sfe1)
+        locals_ = []
+        for i in range(self.num_blocks):
+            y = _RDB(self.mid_channels, self.channel_growth, self.num_layers,
+                     name=f"rdb{i}")(y)
+            locals_.append(y)
+        y = nn.Conv(self.mid_channels, (1, 1), name="gff1")(
+            jnp.concatenate(locals_, -1)
+        )
+        y = nn.Conv(self.mid_channels, (3, 3), padding="SAME", name="gff2")(y)
+        y = y + sfe1
+        s = self.upscale_factor
+        stages = [s] if s in (2, 3) else [2] * (s // 2)
+        for i, r in enumerate(stages):
+            y = pixel_shuffle(
+                nn.Conv(self.mid_channels * r * r, (3, 3), padding="SAME",
+                        name=f"up{i}")(y), r)
+        return nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                       name="output")(y)

@@ -406,6 +406,8 @@ def test_basicvsr_pp_variants_forward(rng, variant):
                          upscale_factor=4), 4),
         ("MSRResNet", dict(mid_channels=8, num_blocks=2, upscale_factor=4), 4),
         ("SRCNN", dict(channels=(3, 8, 4, 3), upscale_factor=4), 4),
+        ("RDN", dict(mid_channels=8, num_blocks=2, num_layers=2,
+                     channel_growth=4, upscale_factor=4), 4),
     ],
 )
 def test_sisr_zoo(rng, typ, kw, scale):

@@ -1,0 +1,127 @@
+"""Upstream generation/inpainting/matting families + mask utils +
+matting metrics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pnp_vcve_tpu.core.builder import BACKBONES, COMPONENTS
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_resnet_generator_and_patch_disc(rng):
+    gen = BACKBONES.build(dict(type="ResnetGenerator", base_channels=8, num_blocks=2))
+    x = jnp.asarray(rng.random((1, 32, 32, 3), np.float32) * 2 - 1)
+    params = gen.init(jax.random.PRNGKey(0), x)
+    out = gen.apply(params, x)
+    assert out.shape == x.shape and np.abs(np.asarray(out)).max() <= 1.0
+
+    disc = COMPONENTS.build(dict(type="PatchDiscriminator", base_channels=8))
+    dp = disc.init(jax.random.PRNGKey(0), x)
+    d = disc.apply(dp, x)
+    assert d["prediction"].ndim == 4 and len(d["feature_maps"]) == 4
+
+
+def test_unet_generator(rng):
+    gen = BACKBONES.build(dict(type="UnetGenerator", base_channels=4, num_down=6))
+    x = jnp.asarray(rng.random((1, 64, 64, 3), np.float32))
+    params = gen.init(jax.random.PRNGKey(0), x)
+    out = gen.apply(params, x)
+    assert out.shape == x.shape
+
+
+def test_gl_inpaintor_with_mask(rng):
+    from pnp_vcve_tpu.utils.mask import bbox2mask, random_bbox
+
+    gl = BACKBONES.build(dict(type="GLEncoderDecoder"))
+    img = rng.random((1, 64, 64, 3)).astype(np.float32)
+    bbox = random_bbox((64, 64), (20, 20), max_bbox_delta=8, min_margin=4,
+                       rng=rng)
+    mask = bbox2mask((64, 64), bbox, dtype="float32")[None]
+    masked = img * (1 - mask)
+    x = jnp.asarray(np.concatenate([masked, mask], axis=-1))
+    params = gl.init(jax.random.PRNGKey(0), x)
+    out = gl.apply(params, x)
+    assert out.shape == (1, 64, 64, 3)
+    assert np.abs(np.asarray(out)).max() <= 1.0
+
+
+def test_dim_mattor(rng):
+    dim = BACKBONES.build(dict(type="DIM", base_channels=4))
+    merged = jnp.asarray(rng.random((1, 32, 32, 3), np.float32))
+    trimap = jnp.asarray(rng.random((1, 32, 32, 1), np.float32))
+    params = dim.init(jax.random.PRNGKey(0), merged, trimap)
+    alpha = dim.apply(params, merged, trimap)
+    assert alpha.shape == (1, 32, 32, 1)
+    assert 0 <= float(alpha.min()) and float(alpha.max()) <= 1
+
+
+def test_mask_generators(rng):
+    from pnp_vcve_tpu.utils.mask import (
+        brush_stroke_mask,
+        get_irregular_mask,
+        random_irregular_mask,
+    )
+
+    m = brush_stroke_mask((64, 64), rng=rng)
+    assert m.shape == (64, 64, 1) and set(np.unique(m)).issubset({0, 1})
+    assert m.sum() > 0
+    m2 = random_irregular_mask((64, 64), rng=rng)
+    assert m2.shape == (64, 64, 1) and m2.sum() > 0
+    m3 = get_irregular_mask((64, 64), area_ratio_range=(0.0, 1.0), rng=rng)
+    assert m3.shape == (64, 64, 1)
+
+
+def test_matting_metrics(rng):
+    from pnp_vcve_tpu.metrics.matting import connectivity, gradient_error, mse, sad
+
+    h = w = 48
+    alpha = (rng.random((h, w)) * 255).astype(np.uint8)
+    trimap = np.full((h, w), 128, np.uint8)
+    trimap[:8] = 0
+    trimap[-8:] = 255
+    alpha[:8] = 0
+    alpha[-8:] = 255
+    # a prediction masked by the trimap
+    pred = np.clip(alpha.astype(np.int32) + rng.integers(-20, 21, (h, w)), 0, 255).astype(np.uint8)
+    pred[trimap == 0] = 0
+    pred[trimap == 255] = 255
+
+    perfect = alpha.copy()
+    assert sad(alpha, trimap, perfect) == 0
+    assert mse(alpha, trimap, perfect) == 0
+    assert gradient_error(alpha, trimap, perfect) == pytest.approx(0, abs=1e-9)
+    assert connectivity(alpha, trimap, perfect) == pytest.approx(0, abs=1e-6)
+    assert sad(alpha, trimap, pred) > 0
+    assert mse(alpha, trimap, pred) > 0
+    assert gradient_error(alpha, trimap, pred) > 0
+    # unmasked prediction raises (reference asserts)
+    with pytest.raises(ValueError):
+        sad(alpha, trimap, alpha * 0 + 7)
+
+
+def test_stylegan2_generator_and_discriminator(rng):
+    from pnp_vcve_tpu.core.builder import BACKBONES, COMPONENTS
+
+    gen = BACKBONES.build(dict(type="StyleGANv2Generator", out_size=32,
+                               style_channels=32, max_channels=32))
+    z = jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32))
+    params = gen.init(jax.random.PRNGKey(0), z)
+    img = gen.apply(params, z)
+    assert img.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(img)).all()
+    # demodulated style convs: different latents give different images
+    img2 = gen.apply(params, z[::-1])
+    assert np.abs(np.asarray(img) - np.asarray(img2)).max() > 1e-6
+
+    disc = COMPONENTS.build(dict(type="StyleGANv2Discriminator", in_size=32,
+                                 max_channels=32))
+    dp = disc.init(jax.random.PRNGKey(1), img)
+    score = disc.apply(dp, img)
+    assert score.shape == (2, 1)
+    assert np.isfinite(np.asarray(score)).all()
