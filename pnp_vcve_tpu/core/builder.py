@@ -296,6 +296,16 @@ def _build_dim(**kwargs):
     return DIMMattor(**known)
 
 
+@BACKBONES.register(name="CAINNet", aliases=("CAIN",))
+def _build_cain(**kwargs):
+    from pnp_vcve_tpu.models.upstream import CAINNet
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "in_channels", "mid_channels", "depth", "num_block_groups",
+        "num_block_layers", "reduction")}
+    return CAINNet(**known)
+
+
 @BACKBONES.register(name="StyleGAN2Generator", aliases=("StyleGANv2Generator",))
 def _build_stylegan2_gen(**kwargs):
     from pnp_vcve_tpu.models.upstream import StyleGAN2Generator
@@ -523,6 +533,14 @@ def _build_davis_train(
         replace_qp_with_ipb=p["replace_qp_with_ipb"],
         window_mode=p["window_mode"],
     )
+
+
+@DATASETS.register(name="GenerationPairedDataset")
+def _build_gen_paired(dataroot, pipeline=None, test_mode=False, **kwargs):
+    from pnp_vcve_tpu.data.extra_datasets import GenerationPairedDataset
+
+    known = {k: v for k, v in kwargs.items() if k in ("crop_size", "flip")}
+    return GenerationPairedDataset(dataroot=dataroot, test_mode=test_mode, **known)
 
 
 @DATASETS.register(name="LDPPQFDataset", aliases=("LDPNonPQFDataset",))

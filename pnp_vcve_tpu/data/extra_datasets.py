@@ -32,7 +32,7 @@ from .pipeline import (
 )
 from .qp_slice import QpSliceLookup
 
-__all__ = ["KittiPairDataset", "VimeoMixDataset"]
+__all__ = ["KittiPairDataset", "VimeoMixDataset", "GenerationPairedDataset"]
 
 
 @dataclass
@@ -178,3 +178,61 @@ class VimeoMixDataset:
         flip(sample, "vertical", rng)
         random_transpose_hw(sample, rng)
         return sample
+
+
+@dataclass
+class GenerationPairedDataset:
+    """Paired image-generation folder dataset (pix2pix protocol).
+
+    Reference: mmedit/datasets/generation_paired_dataset.py:9-45 +
+    pipelines/loading.py:1355-1423 (``LoadPairedImageFromFile``): each file
+    under ``dataroot/{train,test}`` holds a pair concatenated along width
+    (A|B), split into img_a / img_b; train samples random-crop both sides
+    to ``crop_size`` and flip jointly.
+    """
+
+    dataroot: str
+    test_mode: bool = False
+    crop_size: int = 256
+    flip: bool = True
+
+    def __post_init__(self):
+        sub = "test" if self.test_mode else "train"
+        root = os.path.join(self.dataroot, sub)
+        if not os.path.isdir(root):
+            root = self.dataroot
+        self.paths = sorted(
+            os.path.join(root, f)
+            for f in os.listdir(root)
+            if f.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        if not self.paths:
+            raise FileNotFoundError(f"no paired images under {root}")
+
+    def __len__(self):
+        return len(self.paths)
+
+    def load_pair(self, idx: int):
+        pair = _load_png(self.paths[idx]).astype(np.float32) / 255.0
+        w = pair.shape[1] // 2
+        return pair[:, :w], pair[:, w:]
+
+    def sample(self, rng: np.random.Generator) -> dict:
+        idx = int(rng.integers(0, len(self.paths)))
+        a, b = self.load_pair(idx)
+        if not self.test_mode:
+            h, w = a.shape[:2]
+            cs = min(self.crop_size, h, w)
+            top = int(rng.integers(0, h - cs + 1))
+            left = int(rng.integers(0, w - cs + 1))
+            a = a[top : top + cs, left : left + cs]
+            b = b[top : top + cs, left : left + cs]
+            if self.flip and rng.random() < 0.5:
+                a = a[:, ::-1].copy()
+                b = b[:, ::-1].copy()
+        return {"img_a": a, "img_b": b, "pair_path": self.paths[idx]}
+
+    def __iter__(self):
+        for i in range(len(self.paths)):
+            a, b = self.load_pair(i)
+            yield {"img_a": a, "img_b": b, "pair_path": self.paths[i]}

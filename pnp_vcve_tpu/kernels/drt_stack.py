@@ -364,47 +364,70 @@ def _input_conv_kernel(
     def _():
         o_ref[0] = jnp.zeros_like(o_ref[0])
 
-    @pl.when((ri > 0) & (ri < n - 1))
-    def _():
-        s = ri * th - 9
+    def band_ops(t, slot, do_start: bool):
+        """DMA the (th+2)-row context band of every part for compute-tile t
+        (t in [1, n-2]; tiles 0 and n-1 are pure pad). Double-buffered: the
+        next tile's bands stream in while this tile computes."""
+        s = t * th - 9
         for p in range(n_parts):
-            band = bands[p]
+            band = bands[p].at[slot]
 
-            @pl.when(ri == 1)
+            @pl.when(t == 1)
             def _():
-                band[0:1] = jnp.zeros_like(band[0:1])
                 d = pltpu.make_async_copy(
                     part_hbm[p].at[bi, pl.ds(0, th + 1)],
                     band.at[pl.ds(1, th + 1), pl.ds(8, wh)],
-                    sems.at[p],
+                    sems.at[slot, p],
                 )
-                d.start()
-                d.wait()
+                if do_start:
+                    band[0:1] = jnp.zeros_like(band[0:1])
+                    d.start()
+                else:
+                    d.wait()
 
-            @pl.when(ri == n - 2)
+            @pl.when(t == n - 2)
             def _():
-                band[th + 1 : th + 2] = jnp.zeros_like(band[th + 1 : th + 2])
                 d = pltpu.make_async_copy(
                     part_hbm[p].at[bi, pl.ds(s, th + 1)],
                     band.at[pl.ds(0, th + 1), pl.ds(8, wh)],
-                    sems.at[p],
+                    sems.at[slot, p],
                 )
-                d.start()
-                d.wait()
+                if do_start:
+                    band[th + 1 : th + 2] = jnp.zeros_like(band[th + 1 : th + 2])
+                    d.start()
+                else:
+                    d.wait()
 
-            @pl.when((ri > 1) & (ri < n - 2))
+            @pl.when((t > 1) & (t < n - 2))
             def _():
                 d = pltpu.make_async_copy(
                     part_hbm[p].at[bi, pl.ds(s, th + 2)],
                     band.at[pl.ds(0, th + 2), pl.ds(8, wh)],
-                    sems.at[p],
+                    sems.at[slot, p],
                 )
-                d.start()
-                d.wait()
+                if do_start:
+                    d.start()
+                else:
+                    d.wait()
+
+    slot = jax.lax.rem(ri, 2)
+    nxt = jax.lax.rem(ri + 1, 2)
+
+    @pl.when(ri == 1)
+    def _():
+        band_ops(1, slot, True)
+
+    @pl.when((ri >= 1) & (ri + 1 < n - 1))
+    def _():
+        band_ops(ri + 1, nxt, True)
+
+    @pl.when((ri > 0) & (ri < n - 1))
+    def _():
+        band_ops(ri, slot, False)
 
         acc = jnp.zeros((th * cols2, c2), jnp.float32)
         for p in range(n_parts):
-            band = bands[p]
+            band = bands[p].at[slot]
             # zero the context columns the DMA never writes (8 left cols
             # for sublane-aligned DMA offsets; right cols >= wh)
             band[:, 0:8] = jnp.zeros_like(band[:, 0:8])
@@ -497,9 +520,9 @@ def input_conv_pf(parts, kernel, bias, cout: int = 64):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, HP, WP, c2), dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, cols2 + 16, max(2 * p.shape[-1], 128)), dtype)
+            pltpu.VMEM((2, th + 2, cols2 + 16, max(2 * p.shape[-1], 128)), dtype)
             for p in parts
-        ] + [pltpu.SemaphoreType.DMA((len(parts),))],
+        ] + [pltpu.SemaphoreType.DMA((2, len(parts)))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

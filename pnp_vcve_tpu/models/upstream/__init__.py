@@ -2,6 +2,7 @@ from .generation import PatchDiscriminator, ResnetGenerator, UnetGenerator
 from .inpainting import GLEncoderDecoder
 from .matting import DIMMattor, PlainRefiner
 from .stylegan2 import StyleGAN2Discriminator, StyleGAN2Generator
+from .vfi import CAINNet
 
 __all__ = [
     "ResnetGenerator",
@@ -12,4 +13,5 @@ __all__ = [
     "PlainRefiner",
     "StyleGAN2Generator",
     "StyleGAN2Discriminator",
+    "CAINNet",
 ]

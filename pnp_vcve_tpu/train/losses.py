@@ -9,7 +9,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["charbonnier_loss", "l1_loss", "mse_loss", "gan_loss", "feature_matching_loss", "make_perceptual_loss"]
+__all__ = ["charbonnier_loss", "l1_loss", "mse_loss", "gan_loss", "feature_matching_loss", "make_perceptual_loss", "masked_l1_loss", "l1_composition_loss"]
 
 
 def charbonnier_loss(pred, target, eps: float = 1e-12, weight: float = 1.0):
@@ -106,3 +106,26 @@ def make_perceptual_loss(
         return percep, style
 
     return loss_fn
+
+
+def masked_l1_loss(pred, target, mask, weight: float = 1.0, sample_wise: bool = False):
+    """Mask-weighted L1 (reference mask_reduce_loss semantics,
+    losses/utils.py:27-69): the loss is averaged over the masked region
+    (weight broadcast over channels; sample_wise averages per sample
+    first). The inpainting recipes use it with hole/valid masks."""
+    mask = jnp.broadcast_to(mask, pred.shape).astype(jnp.float32)
+    diff = jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32)) * mask
+    if sample_wise:
+        axes = tuple(range(1, pred.ndim))
+        per = diff.sum(axes) / jnp.clip(mask.sum(axes), 1e-12)
+        return weight * per.mean()
+    return weight * diff.sum() / jnp.clip(mask.sum(), 1e-12)
+
+
+def l1_composition_loss(pred_alpha, fg, bg, ori_merged, weight=None, loss_weight: float = 1.0):
+    """Composition L1 of matting (reference composition_loss.py:11-55):
+    |alpha*fg + (1-alpha)*bg - merged|, optionally mask-weighted."""
+    merged = pred_alpha * fg + (1.0 - pred_alpha) * bg
+    if weight is not None:
+        return masked_l1_loss(merged, ori_merged, weight, loss_weight)
+    return loss_weight * jnp.mean(jnp.abs(merged - ori_merged))

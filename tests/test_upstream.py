@@ -125,3 +125,59 @@ def test_stylegan2_generator_and_discriminator(rng):
     score = disc.apply(dp, img)
     assert score.shape == (2, 1)
     assert np.isfinite(np.asarray(score)).all()
+
+
+def test_cain_vfi(rng):
+    from pnp_vcve_tpu.core.builder import BACKBONES
+
+    net = BACKBONES.build(dict(type="CAIN", mid_channels=8, depth=2,
+                               num_block_groups=1, num_block_layers=2))
+    imgs = jnp.asarray(rng.random((1, 2, 32, 32, 3), np.float32))
+    params = net.init(jax.random.PRNGKey(0), imgs)
+    out = net.apply(params, imgs)
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # identical inputs at mean 0.5 -> output mean near 0.5 (mean restore)
+    const = jnp.full((1, 2, 32, 32, 3), 0.5)
+    out2 = net.apply(params, const)
+    assert abs(float(out2.mean()) - 0.5) < 0.5
+
+
+def test_masked_and_composition_losses(rng):
+    from pnp_vcve_tpu.train.losses import l1_composition_loss, masked_l1_loss
+
+    pred = jnp.asarray(rng.random((1, 8, 8, 3), np.float32))
+    tgt = jnp.asarray(rng.random((1, 8, 8, 3), np.float32))
+    mask = jnp.zeros((1, 8, 8, 1)).at[:, :4].set(1.0)
+    # masked loss == plain l1 over the masked half
+    expected = float(np.abs(np.asarray(pred - tgt))[:, :4].mean())
+    assert float(masked_l1_loss(pred, tgt, mask)) == pytest.approx(expected, rel=1e-5)
+    # all-ones mask == plain mean
+    assert float(masked_l1_loss(pred, tgt, jnp.ones((1, 8, 8, 1)))) == pytest.approx(
+        float(np.abs(np.asarray(pred - tgt)).mean()), rel=1e-5)
+
+    alpha = jnp.asarray(rng.random((1, 8, 8, 1), np.float32))
+    fg = jnp.asarray(rng.random((1, 8, 8, 3), np.float32))
+    bg = jnp.asarray(rng.random((1, 8, 8, 3), np.float32))
+    merged = alpha * fg + (1 - alpha) * bg
+    assert float(l1_composition_loss(alpha, fg, bg, merged)) == pytest.approx(0, abs=1e-7)
+    assert float(l1_composition_loss(alpha * 0.5, fg, bg, merged)) > 0
+
+
+def test_generation_paired_dataset(rng, tmp_path):
+    from PIL import Image
+
+    from pnp_vcve_tpu.core.builder import build_dataset
+
+    d = tmp_path / "train"
+    d.mkdir()
+    for i in range(3):
+        img = (rng.random((32, 64, 3)) * 255).astype(np.uint8)  # A|B
+        Image.fromarray(img).save(d / f"{i}.png")
+    ds = build_dataset(dict(type="GenerationPairedDataset",
+                            dataroot=str(tmp_path), crop_size=16))
+    s = ds.sample(np.random.default_rng(0))
+    assert s["img_a"].shape == (16, 16, 3)
+    assert s["img_b"].shape == (16, 16, 3)
+    items = list(ds)
+    assert len(items) == 3 and items[0]["img_a"].shape == (32, 32, 3)
