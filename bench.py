@@ -11,11 +11,17 @@ Prints ONE JSON line:
    "vs_baseline": R}
 
 vs_baseline: the driver target is >5x the A100 PyTorch reference
-(BASELINE.md). The reference publishes no number; we use a measured-class
-estimate of ~4 frames/s on A100 for the 100-frame 720p clip enhancement
-path (per-clip prints of ~25s reported for comparable BasicVSR-class
-recurrences), so vs_baseline = value / 4.0. Revisit when a real A100 number
-is recorded.
+(BASELINE.md). IMPORTANT: the denominator is an ESTIMATE, not a
+measurement — the reference repo publishes no benchmark numbers
+(BASELINE.json.published == {}), no A100 is reachable from this
+environment, and the reference's only probe is a per-clip wall-time print
+(mmedit/models/restorers/basicvsr.py:176-182). The 4.0 frames/s figure is
+a literature-class estimate for BasicVSR-family bidirectional recurrences
+at 720p on A100 (~25 s per 100-frame clip is commonly reported for
+comparable models; the reference adds MoE + partition side paths on top of
+that class). Replace with a measured number the moment the released
+checkpoint can be timed on real hardware; all relative trends across
+rounds (BENCH_r*.json) are unaffected since the denominator is constant.
 """
 
 import json

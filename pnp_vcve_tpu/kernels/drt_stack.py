@@ -453,7 +453,7 @@ def _input_conv_kernel(
         )
 
 
-def input_conv_pf(parts, kernel, bias, cout: int = 64):
+def input_conv_pf(parts, kernel, bias, cout: int = 64, part_specs=None):
     """Fused BAE input conv emitting PF directly.
 
     ``conv(concat(parts))`` as a sum of per-part packed convolutions with
@@ -465,6 +465,11 @@ def input_conv_pf(parts, kernel, bias, cout: int = 64):
       parts: sequence of (b, h, w, c_p) NHWC arrays; channels sum to
         ``kernel.shape[2]``. Requires h % 8 == 0 and w/2 % 8 == 0.
       kernel: (3, 3, cin_total, cout) HWIO; bias: (cout,).
+      part_specs: optional list of (kernel_cin_offset, gain) per part —
+        ``gain`` is a per-sample (b,) scalar multiplied into that part's
+        KERNEL (a scalar select/gain commutes with convolution, so e.g.
+        ``where(flag, a, b)`` as a conv input becomes two gained parts —
+        no full-frame select). None = sequential offsets, gain 1.
     Returns: PF (b, HP, WP, 2*cout) bfloat-typed like parts[0].
     """
     b, h, w, _ = parts[0].shape
@@ -477,10 +482,19 @@ def input_conv_pf(parts, kernel, bias, cout: int = 64):
     dtype = parts[0].dtype
     c2 = 2 * cout
 
+    if part_specs is None:
+        offs = []
+        off = 0
+        for part in parts:
+            offs.append((off, None))
+            off += part.shape[-1]
+        if off != kernel.shape[2]:
+            raise ValueError("part channels do not sum to kernel cin")
+        part_specs = offs
+
     packed_parts = []
     w_parts = []
-    off = 0
-    for part in parts:
+    for part, (off, gain) in zip(parts, part_specs):
         cp = part.shape[-1]
         pk = part.reshape(b, h, wh, 2 * cp)
         kp = pack_conv3x3_kernel_per_tap(
@@ -493,11 +507,11 @@ def input_conv_pf(parts, kernel, bias, cout: int = 64):
             pad = 128 - 2 * cp
             pk = jnp.pad(pk, ((0, 0), (0, 0), (0, 0), (0, pad)))
             kp = jnp.pad(kp, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        kp = jnp.broadcast_to(kp[None], (b,) + kp.shape)
+        if gain is not None:
+            kp = kp * gain.astype(dtype)[:, None, None, None, None]
         packed_parts.append(pk)
-        w_parts.append(kp[None])
-        off += cp
-    if off != kernel.shape[2]:
-        raise ValueError("part channels do not sum to kernel cin")
+        w_parts.append(kp)
     b_packed = jnp.concatenate([bias, bias]).reshape(1, 1, c2).astype(jnp.float32)
     b_packed = jnp.broadcast_to(b_packed, (b, 1, c2))
 
@@ -505,9 +519,9 @@ def input_conv_pf(parts, kernel, bias, cout: int = 64):
         _input_conv_kernel, th=th, cols2=cols2, wh=wh,
         n_parts=len(parts), h=h,
     )
-    # weights are shared across the batch: block index (0,...)
+    # per-sample kernels (gain-gated parts need them; ungated are broadcast)
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * len(parts) + [
-        pl.BlockSpec((1, 3, 3, wp.shape[3], c2), lambda bi, ri: (0, 0, 0, 0, 0),
+        pl.BlockSpec((1, 3, 3, wp.shape[3], c2), lambda bi, ri: (bi, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM)
         for wp in w_parts
     ] + [pl.BlockSpec((1, 1, c2), lambda bi, ri: (bi, 0, 0), memory_space=pltpu.VMEM)]
@@ -579,9 +593,30 @@ def make_trainable_stack(th: int):
     return f
 
 
-def _xla_input_stack_compose(parts, kernel, bias, par, blocks):
-    from pnp_vcve_tpu.ops.dynamic_conv import conv2d_nhwc
+def _part_specs_for_gate(parts, align_gate):
+    """BAE part layout (lr, key_warp, neighbor[, cur]) with the align_key
+    select expressed as KERNEL gains: where(g, kw, nb) as a conv input
+    equals conv(kw, g*K_nb) + conv(nb, (1-g)*K_nb) — a per-sample scalar on
+    the (3,3,c,c) kernel instead of a full-frame select."""
+    lr, kw, nb = parts[0], parts[1], parts[2]
+    rest = list(parts[3:])
+    c_lr, c_kw = lr.shape[-1], kw.shape[-1]
+    g = align_gate.astype(jnp.float32)
+    specs = [(0, None), (c_lr, None), (c_lr + c_kw, g), (c_lr + c_kw, 1.0 - g)]
+    arrs = [lr, kw, kw, nb]
+    off = c_lr + c_kw + nb.shape[-1]
+    for r in rest:
+        arrs.append(r)
+        specs.append((off, None))
+        off += r.shape[-1]
+    return arrs, specs
 
+
+def _xla_input_stack_compose(parts, kernel, bias, par, blocks, align_gate=None):
+    if align_gate is not None:
+        lr, kw, nb = parts[0], parts[1], parts[2]
+        nb = jnp.where(align_gate[:, None, None, None], kw, nb)
+        parts = (lr, kw, nb) + tuple(parts[3:])
     acc = None
     off = 0
     for part in parts:
@@ -597,22 +632,51 @@ def _xla_input_stack_compose(parts, kernel, bias, par, blocks):
     return _xla_block_compose(feat, par, blocks)
 
 
-def make_trainable_input_stack(th: int, h: int, w: int, cout: int):
-    """``f(parts, kernel, bias, par, blocks)``: fused input conv + PF stack
-    forward, XLA-composition VJP."""
+def make_trainable_input_stack(th: int, h: int, w: int, cout: int, gated: bool = False):
+    """``f(parts, kernel, bias, par, blocks[, align_gate])``: fused input
+    conv + PF stack forward, XLA-composition VJP. ``gated=True`` adds the
+    align_key select as per-sample kernel gains (see _part_specs_for_gate)."""
+
+    if not gated:
+
+        @jax.custom_vjp
+        def f(parts, kernel, bias, par, blocks):
+            xpf = input_conv_pf(list(parts), kernel, bias, cout=cout)
+            return drt_stack_packed_from_pf(xpf, par, blocks, h=h, w=w, th=th)
+
+        def fwd(parts, kernel, bias, par, blocks):
+            return f(parts, kernel, bias, par, blocks), (parts, kernel, bias, par, blocks)
+
+        def bwd(res, g):
+            parts, kernel, bias, par, blocks = res
+            _, vjp = jax.vjp(
+                lambda *a: _xla_input_stack_compose(*a), parts, kernel, bias, par, blocks
+            )
+            return vjp(g)
+
+        f.defvjp(fwd, bwd)
+        return f
 
     @jax.custom_vjp
-    def f(parts, kernel, bias, par, blocks):
-        xpf = input_conv_pf(list(parts), kernel, bias, cout=cout)
+    def fg(parts, kernel, bias, par, blocks, align_gate):
+        arrs, specs = _part_specs_for_gate(parts, align_gate)
+        xpf = input_conv_pf(arrs, kernel, bias, cout=cout, part_specs=specs)
         return drt_stack_packed_from_pf(xpf, par, blocks, h=h, w=w, th=th)
 
-    def fwd(parts, kernel, bias, par, blocks):
-        return f(parts, kernel, bias, par, blocks), (parts, kernel, bias, par, blocks)
+    def fwd_g(parts, kernel, bias, par, blocks, align_gate):
+        return fg(parts, kernel, bias, par, blocks, align_gate), (
+            parts, kernel, bias, par, blocks, align_gate,
+        )
 
-    def bwd(res, g):
-        parts, kernel, bias, par, blocks = res
-        _, vjp = jax.vjp(_xla_input_stack_compose, parts, kernel, bias, par, blocks)
-        return vjp(g)
+    def bwd_g(res, g):
+        parts, kernel, bias, par, blocks, align_gate = res
+        _, vjp = jax.vjp(
+            lambda p, k, b2, pr, bl: _xla_input_stack_compose(
+                p, k, b2, pr, bl, align_gate
+            ),
+            parts, kernel, bias, par, blocks,
+        )
+        return vjp(g) + (jnp.zeros_like(align_gate),)
 
-    f.defvjp(fwd, bwd)
-    return f
+    fg.defvjp(fwd_g, bwd_g)
+    return fg

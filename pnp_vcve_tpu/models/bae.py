@@ -237,13 +237,20 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
         par: jnp.ndarray,
         weights: jnp.ndarray,
         gamma: Optional[jnp.ndarray],
+        align_gate: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """``x``: (b,h,w,cin) array, or a SEQUENCE of arrays whose channels
         sum to ``in_channels`` — conv(concat(parts)) is computed as
         sum(conv_i(part_i)), which skips materializing the concat (measured
         16-25 ms/frame at 720p when the operands carry gather-dictated
         layouts; the parameter stays ONE (3,3,cin,cout) kernel, checkpoint-
-        compatible, sliced per part)."""
+        compatible, sliced per part).
+
+        ``align_gate``: optional (b,) 0/1 floats for the BAE part layout
+        (lr, key_warp, neighbor[, cur]) meaning the effective neighbor is
+        ``where(gate, key_warp, neighbor)`` — on the fused path the select
+        becomes per-sample KERNEL gains (free); fallbacks select the
+        tensor."""
         kernel = self.param(
             "input_conv_kernel",
             torch_conv_default,
@@ -254,6 +261,8 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
             torch_conv_bias_default(9 * self.in_channels),
             (self.out_channels,),
         )
+        if align_gate is not None and not isinstance(x, (tuple, list)):
+            raise ValueError("align_gate requires the parts form of x")
         h_, w_ = x[0].shape[1:3] if isinstance(x, (tuple, list)) else x.shape[1:3]
         hp_ = -(-(h_ + 16) // self.pallas_th) * self.pallas_th
         # the PF emitted by input_conv_pf (th=8 tiling) must line up with
@@ -292,9 +301,19 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
             params = [blk.packed_inputs(weights, gamma) for blk in blocks]
             # fused Pallas forward, XLA-composition backward (trainable)
             fused = make_trainable_input_stack(
-                self.pallas_th, h_, w_, self.out_channels
+                self.pallas_th, h_, w_, self.out_channels,
+                gated=align_gate is not None,
             )
+            if align_gate is not None:
+                return fused(
+                    tuple(x), kernel, bias, par, params,
+                    align_gate.astype(jnp.float32),
+                )
             return fused(tuple(x), kernel, bias, par, params)
+        if align_gate is not None:
+            # non-fused fallback: materialize the select
+            g = align_gate[:, None, None, None] != 0
+            x = (x[0], x[1], jnp.where(g, x[1], x[2])) + tuple(x[3:])
         if isinstance(x, (tuple, list)):
             import jax
 

@@ -150,16 +150,16 @@ class _BackwardStep(nn.Module):
         # no first-step masking is needed (the reference's i==t-1/i==0 zero
         # features, iconvsr_ipb_par.py:77-79, fall out of the zero carry).
         key_warp = self._align(last_key, flow)
-        neighbor = prev_out
-        if self.align_key:
-            neighbor = jnp.where(
-                prev_was_key[:, None, None, None], key_warp, neighbor
-            )
 
-        # parts tuple: the input conv consumes them without a concat
-        # (conv(concat) == sum of per-part convs; see bae.py)
+        # the align_key select (reference iconvsr_ipb_par.py:84-87) rides
+        # the input conv as per-sample kernel gains on the fused path
+        gate = (
+            prev_was_key.astype(jnp.float32)
+            if (self.align_key and self.with_cat)
+            else None
+        )
         if self.with_cat:
-            feat = (lr, key_warp, neighbor)
+            feat = (lr, key_warp, prev_out)
         else:
             feat = (lr, key_warp)
 
@@ -174,7 +174,7 @@ class _BackwardStep(nn.Module):
             use_dynamic=self.use_dynamic,
             use_pallas=self.use_pallas,
             name="resblocks",
-        )(feat, par, weights, gamma)
+        )(feat, par, weights, gamma, align_gate=gate)
 
         key_mask = is_key[:, None, None, None]
         last_key = jnp.where(key_mask, out, last_key)
@@ -208,14 +208,14 @@ class _ForwardStep(nn.Module):
         lr, flow, par, weights, gamma, is_key, cur = xs
 
         key_warp = self._align(last_key, flow)
-        neighbor = prev_out
-        if self.align_key:
-            neighbor = jnp.where(
-                prev_was_key[:, None, None, None], key_warp, neighbor
-            )
 
+        gate = (
+            prev_was_key.astype(jnp.float32)
+            if (self.align_key and self.with_cat)
+            else None
+        )
         if self.with_cat:
-            feat = (lr, key_warp, neighbor, cur)
+            feat = (lr, key_warp, prev_out, cur)
         else:
             feat = (lr, key_warp, cur)
 
@@ -230,7 +230,7 @@ class _ForwardStep(nn.Module):
             use_dynamic=self.use_dynamic,
             use_pallas=self.use_pallas,
             name="resblocks",
-        )(feat, par, weights, gamma)
+        )(feat, par, weights, gamma, align_gate=gate)
 
         key_mask = is_key[:, None, None, None]
         new_last_key = jnp.where(key_mask, out, last_key)
