@@ -296,6 +296,26 @@ def _build_dim(**kwargs):
     return DIMMattor(**known)
 
 
+@BACKBONES.register(name="LIIFEDSR", aliases=("LIIF",))
+def _build_liif(**kwargs):
+    from pnp_vcve_tpu.models.upstream import LIIFEDSR
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "mid_channels", "num_blocks", "mlp_hidden", "feat_unfold",
+        "local_ensemble", "cell_decode")}
+    return LIIFEDSR(**known)
+
+
+@BACKBONES.register(name="GLEANStyleGANv2", aliases=("GLEAN",))
+def _build_glean(**kwargs):
+    from pnp_vcve_tpu.models.upstream import GLEANStyleGANv2
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "in_size", "out_size", "img_channels", "rrdb_channels", "num_rrdbs",
+        "style_channels", "max_channels", "channel_multiplier")}
+    return GLEANStyleGANv2(**known)
+
+
 @BACKBONES.register(name="CAINNet", aliases=("CAIN",))
 def _build_cain(**kwargs):
     from pnp_vcve_tpu.models.upstream import CAINNet

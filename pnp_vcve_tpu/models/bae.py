@@ -12,11 +12,13 @@ TPU-native formulation:
   (:mod:`pnp_vcve_tpu.ops.dynamic_conv`), not a ``groups=batch`` grouped conv;
 - the three partition 1x1 convs run as ONE ``(cin -> 3*cout)`` matmul whose
   result is contracted against the partition map;
-- with ``use_pallas=True`` the whole block executes as one fused Pallas
-  kernel (:mod:`pnp_vcve_tpu.kernels.drt_packed`): pixel-pair packed MXU
-  layout, one HBM read + one write per block, 2.9x the XLA composition
-  (numerically identical, kernel-tested). INFERENCE ONLY: the kernel has no
-  custom VJP yet, so keep the flag off for training;
+- with ``use_pallas=True`` the whole block STACK executes as chained fused
+  Pallas kernels in a shared padded-packed format, with the input conv
+  fused too (:mod:`pnp_vcve_tpu.kernels.drt_stack`; the per-block kernel
+  lives in :mod:`pnp_vcve_tpu.kernels.drt_packed`): pixel-pair packed MXU
+  layout, one HBM read + one write per block. TRAINABLE: a custom VJP runs
+  the fused kernels forward and differentiates the numerically-identical
+  XLA composition backward (gradient-parity-tested);
 - the sparse eval path of the reference (index_select matmuls,
   sr_backbone_utils.py:294-302) is intentionally NOT replicated: gather/
   scatter sparsity loses to dense MXU work on TPU (the shipped flagship

@@ -3,6 +3,8 @@ from .inpainting import GLEncoderDecoder
 from .matting import DIMMattor, PlainRefiner
 from .stylegan2 import StyleGAN2Discriminator, StyleGAN2Generator
 from .vfi import CAINNet
+from .glean import GLEANStyleGANv2
+from .liif import LIIFEDSR, make_coord
 
 __all__ = [
     "ResnetGenerator",
@@ -14,4 +16,6 @@ __all__ = [
     "StyleGAN2Generator",
     "StyleGAN2Discriminator",
     "CAINNet",
+    "GLEANStyleGANv2",
+    "LIIFEDSR",
 ]

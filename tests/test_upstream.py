@@ -181,3 +181,40 @@ def test_generation_paired_dataset(rng, tmp_path):
     assert s["img_b"].shape == (16, 16, 3)
     items = list(ds)
     assert len(items) == 3 and items[0]["img_a"].shape == (32, 32, 3)
+
+
+def test_glean(rng):
+    from pnp_vcve_tpu.core.builder import BACKBONES
+
+    net = BACKBONES.build(dict(type="GLEAN", in_size=16, out_size=64,
+                               rrdb_channels=8, num_rrdbs=1,
+                               style_channels=16, max_channels=16))
+    lq = jnp.asarray(rng.random((1, 16, 16, 3), np.float32))
+    params = net.init(jax.random.PRNGKey(0), lq)
+    out = net.apply(params, lq)
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # the latent bank must engage: different inputs -> different codes/outputs
+    out2 = net.apply(params, lq * 0.5)
+    assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-6
+
+
+def test_liif_arbitrary_scale(rng):
+    from pnp_vcve_tpu.core.builder import BACKBONES
+    from pnp_vcve_tpu.models.upstream import make_coord
+
+    net = BACKBONES.build(dict(type="LIIF", mid_channels=8, num_blocks=2,
+                               mlp_hidden=(16, 16)))
+    x = jnp.asarray(rng.random((1, 16, 16, 3), np.float32))
+    # query a 24x24 grid (x1.5, non-integer scale)
+    coord = make_coord((24, 24))[None]
+    cell = jnp.full((1, 24 * 24, 2), 2.0 / 24)
+    params = net.init(jax.random.PRNGKey(0), x, coord, cell)
+    out = net.apply(params, x, coord, cell)
+    assert out.shape == (1, 576, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # and a x2 grid from the same params (scale generalization)
+    coord2 = make_coord((32, 32))[None]
+    cell2 = jnp.full((1, 32 * 32, 2), 2.0 / 32)
+    out2 = net.apply(params, x, coord2, cell2)
+    assert out2.shape == (1, 1024, 3)
