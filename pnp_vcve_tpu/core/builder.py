@@ -316,6 +316,29 @@ def _build_glean(**kwargs):
     return GLEANStyleGANv2(**known)
 
 
+@BACKBONES.register(name="TTSRNet", aliases=("TTSR",))
+def _build_ttsr(**kwargs):
+    from pnp_vcve_tpu.models.upstream.ttsr import TTSRNet
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "in_channels", "out_channels", "mid_channels", "texture_channels",
+        "num_blocks", "res_scale")}
+    if "num_blocks" in known:
+        known["num_blocks"] = tuple(known["num_blocks"])
+    return TTSRNet(**known)
+
+
+@BACKBONES.register(name="DICNet", aliases=("DIC",))
+def _build_dic(**kwargs):
+    from pnp_vcve_tpu.models.upstream.dic import DICNet
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "in_channels", "out_channels", "mid_channels", "num_blocks",
+        "hg_mid_channels", "hg_num_keypoints", "num_steps", "upscale_factor",
+        "detach_attention", "prelu_init", "num_heatmaps", "num_fusion_blocks")}
+    return DICNet(**known)
+
+
 @BACKBONES.register(name="CAINNet", aliases=("CAIN",))
 def _build_cain(**kwargs):
     from pnp_vcve_tpu.models.upstream import CAINNet
@@ -378,6 +401,14 @@ def _build_patch_disc(**kwargs):
     known = {k: v for k, v in kwargs.items() if k in (
         "in_channels", "base_channels", "num_conv")}
     return PatchDiscriminator(**known)
+
+
+@COMPONENTS.register(name="LTE")
+def _build_lte(**kwargs):
+    from pnp_vcve_tpu.models.upstream.ttsr import LTE
+
+    known = {k: v for k, v in kwargs.items() if k in ("pixel_range",)}
+    return LTE(**known)
 
 
 def build_discriminator(cfg: dict):
@@ -561,6 +592,62 @@ def _build_gen_paired(dataroot, pipeline=None, test_mode=False, **kwargs):
 
     known = {k: v for k, v in kwargs.items() if k in ("crop_size", "flip")}
     return GenerationPairedDataset(dataroot=dataroot, test_mode=test_mode, **known)
+
+
+def _gt_patch_from_pipeline(pipeline, default=128):
+    """Pull gt_patch_size out of a reference-style pipeline list."""
+    for step in pipeline or []:
+        if isinstance(step, dict) and "gt_patch_size" in step:
+            return int(step["gt_patch_size"])
+    return default
+
+
+@DATASETS.register(name="SRFolderDataset")
+def _build_sr_folder(
+    lq_folder, gt_folder, scale, pipeline=None, test_mode=False,
+    filename_tmpl="{}", **kwargs,
+):
+    from pnp_vcve_tpu.data.sisr_datasets import SRFolderDataset
+
+    return SRFolderDataset(
+        lq_folder=lq_folder, gt_folder=gt_folder, scale=scale,
+        filename_tmpl=filename_tmpl, test_mode=test_mode,
+        gt_patch_size=_gt_patch_from_pipeline(pipeline),
+    )
+
+
+@DATASETS.register(name="SRAnnotationDataset")
+def _build_sr_annotation(
+    lq_folder, gt_folder, ann_file, scale, pipeline=None, test_mode=False,
+    filename_tmpl="{}", **kwargs,
+):
+    from pnp_vcve_tpu.data.sisr_datasets import SRAnnotationDataset
+
+    return SRAnnotationDataset(
+        lq_folder=lq_folder, gt_folder=gt_folder, ann_file=ann_file,
+        scale=scale, filename_tmpl=filename_tmpl, test_mode=test_mode,
+        gt_patch_size=_gt_patch_from_pipeline(pipeline),
+    )
+
+
+@DATASETS.register(name="SRFolderGTDataset")
+def _build_sr_folder_gt(gt_folder, scale=1, pipeline=None, test_mode=False, **kwargs):
+    from pnp_vcve_tpu.data.sisr_datasets import SRFolderGTDataset
+
+    return SRFolderGTDataset(
+        gt_folder=gt_folder, scale=scale, test_mode=test_mode,
+        gt_patch_size=_gt_patch_from_pipeline(pipeline),
+    )
+
+
+@DATASETS.register(name="SRLmdbDataset")
+def _build_sr_lmdb(lq_folder, gt_folder, scale, pipeline=None, test_mode=False, **kwargs):
+    from pnp_vcve_tpu.data.sisr_datasets import SRLmdbDataset
+
+    return SRLmdbDataset(
+        lq_folder=lq_folder, gt_folder=gt_folder, scale=scale,
+        test_mode=test_mode, gt_patch_size=_gt_patch_from_pipeline(pipeline),
+    )
 
 
 @DATASETS.register(name="LDPPQFDataset", aliases=("LDPNonPQFDataset",))

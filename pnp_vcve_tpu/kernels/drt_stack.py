@@ -291,10 +291,13 @@ def _block_params_packed(blk, b, c2, dtype):
     return w2, b2, pk, w1, b1, g
 
 
-@functools.partial(jax.jit, static_argnames=("th", "h", "w"))
-def drt_stack_packed_from_pf(xpf, par, blocks, h: int, w: int, th: int = 16):
+@functools.partial(jax.jit, static_argnames=("th", "h", "w", "unpack"))
+def drt_stack_packed_from_pf(
+    xpf, par, blocks, h: int, w: int, th: int = 16, unpack: bool = True
+):
     """As :func:`drt_stack_packed` but consuming an ALREADY-PF input (e.g.
-    from :func:`input_conv_pf`); returns the unpacked (b, h, w, c) result."""
+    from :func:`input_conv_pf`); returns the unpacked (b, h, w, c) result,
+    or the raw PF with ``unpack=False`` (for chaining into head_pf)."""
     b = xpf.shape[0]
     HP, WP, _, cols1, cols2 = pf_geometry(h, w, th)
     if xpf.shape[1] != HP or xpf.shape[2] != WP:
@@ -307,7 +310,7 @@ def drt_stack_packed_from_pf(xpf, par, blocks, h: int, w: int, th: int = 16):
             xpf, parpf, w2, b2, pk, w1, b1, g,
             th=th, h=h, w=w, cols1=cols1, cols2=cols2,
         )
-    return unpack_pf(xpf, h, w)
+    return unpack_pf(xpf, h, w) if unpack else xpf
 
 
 @functools.partial(jax.jit, static_argnames=("th",))
@@ -675,6 +678,226 @@ def make_trainable_input_stack(th: int, h: int, w: int, cout: int, gated: bool =
                 p, k, b2, pr, bl, align_gate
             ),
             parts, kernel, bias, par, blocks,
+        )
+        return vjp(g) + (jnp.zeros_like(align_gate),)
+
+    fg.defvjp(fwd_g, bwd_g)
+    return fg
+
+
+def _head_dma(src_hbm, bi, band, sem, t, th, do_start: bool):
+    # band: PF rows [t*th + PAD_R - 2, + th + 4) — always inside [0, HP)
+    # because the PF interior pad rows cover the 2-row halo on both sides.
+    d = pltpu.make_async_copy(
+        src_hbm.at[bi, pl.ds(t * th + PAD_R - 2, th + 4)], band, sem
+    )
+    if do_start:
+        d.start()
+    else:
+        d.wait()
+
+
+def _head_kernel(xpf_hbm, whr_ref, bhr_ref, wlast_ref, blast_ref, o_ref,
+                 bands, hmid, sems, *, th, cols2, wh, c2, h):
+    """Reconstruction head on PF input: y = conv_last(lrelu(conv_hr(x)));
+    the +lr residual stays in XLA (keeps lr away from custom-call layout
+    constraints). Out tile ri covers orig rows [ri*th, (ri+1)*th)."""
+    bi = pl.program_id(0)
+    ri = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    slot = jax.lax.rem(ri, 2)
+    nxt = jax.lax.rem(ri + 1, 2)
+
+    @pl.when(ri == 0)
+    def _():
+        _head_dma(xpf_hbm, bi, bands.at[0], sems.at[0], 0, th, True)
+
+    @pl.when(ri + 1 < n_tiles)
+    def _():
+        _head_dma(xpf_hbm, bi, bands.at[nxt], sems.at[nxt], ri + 1, th, True)
+
+    _head_dma(xpf_hbm, bi, bands.at[slot], sems.at[slot], ri, th, False)
+    band = bands.at[slot]
+
+    rows1 = th + 2
+    c = c2 // 2
+    w = 2 * wh
+    # conv_hr + lrelu: hmid local r1 -> orig row ri*th - 1 + r1; hmid col
+    # c1 -> orig packed col c1 - 1. Window base: padded col of (c1-1)-1 is
+    # c1 + 6.
+    acc = _tap_conv(band, whr_ref[0], rows1, cols2 + 2, c2, row0=0, col0=6)
+    acc = acc + bhr_ref[0, 0].astype(jnp.float32)
+    acc = jnp.where(acc >= 0, acc, 0.1 * acc)
+    acc = acc.reshape(rows1, cols2 + 2, c2)
+    # conv 'same' zero-pad semantics: bias+lrelu made the out-of-image
+    # positions nonzero — zero them before conv_last consumes the halo
+    grow = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0) + ri * th - 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 2)
+    gcol = (
+        2 * jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+        - 2
+        + (lane >= c).astype(jnp.int32)
+    )
+    valid = (grow >= 0) & (grow < h) & (gcol >= 0) & (gcol < w)
+    hmid[:] = jnp.where(valid, acc, 0.0).astype(hmid.dtype)
+
+    # conv_last: out (th, cols2, 2*3) via per-tap matmuls on hmid
+    c_out = o_ref.shape[3]
+    out = jnp.zeros((th * cols2, c_out), jnp.float32)
+    for dy in range(3):
+        for k in range(3):
+            win = hmid[dy : dy + th, k : k + cols2].reshape(th * cols2, c2)
+            out = out + jnp.dot(
+                win, wlast_ref[0, dy, k], preferred_element_type=jnp.float32
+            )
+    out = out + blast_ref[0, 0].astype(jnp.float32)
+    o_ref[0] = out.reshape(th, cols2, c_out).astype(o_ref.dtype)
+
+
+def head_pf(xpf, conv_hr_kernel, conv_hr_bias, conv_last_kernel,
+            conv_last_bias, h: int, w: int):
+    """Packed reconstruction head (reference iconvsr_ipb_par.py:135-141,
+    vsr=False): ``conv_last(lrelu(conv_hr(x)))`` from the PF stack output,
+    WITHOUT the +lr residual (added by the caller). Returns (b, h, w, 3).
+    """
+    b, HP, WP, c2 = xpf.shape
+    th = PAD_R
+    _, _, wh, cols1, cols2 = pf_geometry(h, w, th)
+    if cols2 != wh or h % th:
+        raise ValueError(f"need aligned geometry, got {h}x{w}")
+    dtype = xpf.dtype
+    c_out3 = conv_last_kernel.shape[-1]
+    c_out = 2 * c_out3
+
+    whr = pack_conv3x3_kernel_per_tap(conv_hr_kernel.astype(dtype))[None]
+    bhr = jnp.broadcast_to(
+        jnp.concatenate([conv_hr_bias] * 2).reshape(1, 1, c2), (b, 1, c2)
+    )
+    wlast = pack_conv3x3_kernel_per_tap(conv_last_kernel.astype(dtype))[None]
+    blast = jnp.broadcast_to(
+        jnp.concatenate([conv_last_bias] * 2).reshape(1, 1, c_out), (b, 1, c_out)
+    )
+
+    kern = functools.partial(
+        _head_kernel, th=th, cols2=cols2, wh=wh, c2=c2, h=h
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 3, 3, c2, c2), lambda bi, ri: (0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c2), lambda bi, ri: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 3, c2, c_out), lambda bi, ri: (0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c_out), lambda bi, ri: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, cols2, c_out), lambda bi, ri: (bi, ri, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, cols2, c_out), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 4, WP, c2), dtype),
+            pltpu.VMEM((th + 2, cols2 + 2, c2), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(xpf, whr, bhr, wlast, blast)
+    return out.reshape(b, h, w, c_out3)
+
+
+def _xla_head(x, head):
+    """XLA reference for the packed head: conv_last(lrelu_0.1(conv_hr(x)))."""
+    hr_k, hr_b, last_k, last_b = head
+
+    def conv(v, k, b2):
+        return (
+            jax.lax.conv_general_dilated(
+                v, k.astype(v.dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            + b2
+        )
+
+    y = conv(x, hr_k, hr_b)
+    y = jnp.where(y >= 0, y, 0.1 * y).astype(x.dtype)
+    return conv(y, last_k, last_b).astype(x.dtype)
+
+
+def make_trainable_input_stack_head(
+    th: int, h: int, w: int, cout: int, gated: bool = False
+):
+    """``f(parts, kernel, bias, par, blocks, head[, align_gate])`` ->
+    ``(out, y)``: the fused input conv + PF stack + packed reconstruction
+    head. ``out`` is the unpacked stack feature (the sweep carry);
+    ``y = conv_last(lrelu(conv_hr(out)))`` WITHOUT the +lr residual.
+    Keeping the head inside Pallas keeps the scan-xs lrs stack away from the
+    XLA head convs' gather-style layouts (a 42.7x HBM padding expansion on
+    the (t,b,h,w,3) buffer, found in the b=2 OOM allocation dump).
+    Forward is Pallas; the VJP re-derives through the numerically identical
+    XLA composition. ``head`` = (hr_kernel, hr_bias, last_kernel, last_bias).
+    """
+
+    def _fused(parts, kernel, bias, par, blocks, head, align_gate):
+        if align_gate is not None:
+            arrs, specs = _part_specs_for_gate(parts, align_gate)
+        else:
+            arrs, specs = list(parts), None
+        xpf = input_conv_pf(arrs, kernel, bias, cout=cout, part_specs=specs)
+        ypf = drt_stack_packed_from_pf(
+            xpf, par, blocks, h=h, w=w, th=th, unpack=False
+        )
+        out = unpack_pf(ypf, h, w)
+        y = head_pf(ypf, head[0], head[1], head[2], head[3], h, w)
+        return out, y
+
+    def _compose(parts, kernel, bias, par, blocks, head, align_gate):
+        out = _xla_input_stack_compose(
+            parts, kernel, bias, par, blocks, align_gate
+        )
+        return out, _xla_head(out, head)
+
+    if not gated:
+
+        @jax.custom_vjp
+        def f(parts, kernel, bias, par, blocks, head):
+            return _fused(parts, kernel, bias, par, blocks, head, None)
+
+        def fwd(parts, kernel, bias, par, blocks, head):
+            return f(parts, kernel, bias, par, blocks, head), (
+                parts, kernel, bias, par, blocks, head,
+            )
+
+        def bwd(res, g):
+            parts, kernel, bias, par, blocks, head = res
+            _, vjp = jax.vjp(
+                lambda p, k, b2, pr, bl, hd: _compose(p, k, b2, pr, bl, hd, None),
+                parts, kernel, bias, par, blocks, head,
+            )
+            return vjp(g)
+
+        f.defvjp(fwd, bwd)
+        return f
+
+    @jax.custom_vjp
+    def fg(parts, kernel, bias, par, blocks, head, align_gate):
+        return _fused(parts, kernel, bias, par, blocks, head, align_gate)
+
+    def fwd_g(parts, kernel, bias, par, blocks, head, align_gate):
+        return fg(parts, kernel, bias, par, blocks, head, align_gate), (
+            parts, kernel, bias, par, blocks, head, align_gate,
+        )
+
+    def bwd_g(res, g):
+        parts, kernel, bias, par, blocks, head, align_gate = res
+        _, vjp = jax.vjp(
+            lambda p, k, b2, pr, bl, hd: _compose(
+                p, k, b2, pr, bl, hd, align_gate
+            ),
+            parts, kernel, bias, par, blocks, head,
         )
         return vjp(g) + (jnp.zeros_like(align_gate),)
 

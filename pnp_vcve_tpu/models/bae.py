@@ -240,6 +240,7 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
         weights: jnp.ndarray,
         gamma: Optional[jnp.ndarray],
         align_gate: Optional[jnp.ndarray] = None,
+        head=None,
     ) -> jnp.ndarray:
         """``x``: (b,h,w,cin) array, or a SEQUENCE of arrays whose channels
         sum to ``in_channels`` — conv(concat(parts)) is computed as
@@ -252,7 +253,15 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
         (lr, key_warp, neighbor[, cur]) meaning the effective neighbor is
         ``where(gate, key_warp, neighbor)`` — on the fused path the select
         becomes per-sample KERNEL gains (free); fallbacks select the
-        tensor."""
+        tensor.
+
+        ``head``: optional (hr_kernel, hr_bias, last_kernel, last_bias) —
+        when given, ALSO computes the reconstruction head
+        ``y = conv_last(lrelu(conv_hr(out)))`` (no residual) and returns
+        ``(out, y)``. On the fused path the head runs as a packed Pallas
+        kernel directly on the PF stack output, which keeps the scan-xs lrs
+        stack away from the XLA head convs' layout constraints (a 42.7x
+        HBM padding expansion at b=2, found via the OOM allocation dump)."""
         kernel = self.param(
             "input_conv_kernel",
             torch_conv_default,
@@ -284,7 +293,10 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
             # fully-fused PF pipeline: packed input conv (kernels
             # input_conv_pf) -> chained PF blocks; no XLA conv in a
             # warp-dictated layout (measured ~31 ms/frame at 720p)
-            from pnp_vcve_tpu.kernels.drt_stack import make_trainable_input_stack
+            from pnp_vcve_tpu.kernels.drt_stack import (
+                make_trainable_input_stack,
+                make_trainable_input_stack_head,
+            )
 
             blocks = [
                 DRTBlock(
@@ -301,16 +313,25 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
                 for i in range(self.num_blocks)
             ]
             params = [blk.packed_inputs(weights, gamma) for blk in blocks]
+            gate = (
+                align_gate.astype(jnp.float32)
+                if align_gate is not None
+                else None
+            )
+            if head is not None:
+                fused = make_trainable_input_stack_head(
+                    self.pallas_th, h_, w_, self.out_channels,
+                    gated=gate is not None,
+                )
+                args = (tuple(x), kernel, bias, par, params, tuple(head))
+                return fused(*args, gate) if gate is not None else fused(*args)
             # fused Pallas forward, XLA-composition backward (trainable)
             fused = make_trainable_input_stack(
                 self.pallas_th, h_, w_, self.out_channels,
-                gated=align_gate is not None,
+                gated=gate is not None,
             )
-            if align_gate is not None:
-                return fused(
-                    tuple(x), kernel, bias, par, params,
-                    align_gate.astype(jnp.float32),
-                )
+            if gate is not None:
+                return fused(tuple(x), kernel, bias, par, params, gate)
             return fused(tuple(x), kernel, bias, par, params)
         if align_gate is not None:
             # non-fused fallback: materialize the select
@@ -372,8 +393,12 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
             from pnp_vcve_tpu.kernels.drt_stack import make_trainable_stack
 
             params = [blk.packed_inputs(weights, gamma) for blk in blocks]
-            return make_trainable_stack(th)(feat, par, params)
+            feat = make_trainable_stack(th)(feat, par, params)
+        else:
+            for blk in blocks:
+                feat = blk(feat, par, weights, gamma)
+        if head is not None:
+            from pnp_vcve_tpu.kernels.drt_stack import _xla_head
 
-        for blk in blocks:
-            feat = blk(feat, par, weights, gamma)
+            return feat, _xla_head(feat, tuple(head))
         return feat

@@ -219,7 +219,26 @@ class _ForwardStep(nn.Module):
         else:
             feat = (lr, key_warp, cur)
 
-        out = ResidualBlocksWithInputConvDynamicDRT(
+        c = self.mid_channels
+        hr_k = self.param("conv_hr_kernel", torch_conv_default, (3, 3, c, c))
+        hr_b = self.param("conv_hr_bias", torch_conv_bias_default(9 * c), (c,))
+        last_k = self.param("conv_last_kernel", torch_conv_default, (3, 3, c, 3))
+        last_b = self.param("conv_last_bias", torch_conv_bias_default(9 * c), (3,))
+        # vsr=False, b>=2: hand the head to the resblocks module so the fused
+        # path runs it as a packed Pallas kernel on the PF stack output.
+        # Measured at 720p/t=12: the XLA head convs force a c-minor
+        # T(2,128) layout onto the (t,b,h,w,3) scan xs (42.7x HBM padding
+        # expansion -> b=2 OOM at 20.4G/15.75G); fusing the head removes
+        # that constraint (b=2 fits, 13.98 f/s aggregate). At b=1 the XLA
+        # head is ~1 f/s faster (no layout pressure to relieve), so fusion
+        # kicks in only for batched serving.
+        head = (
+            None
+            if (self.vsr or lr.shape[0] < 2)
+            else (hr_k, hr_b, last_k, last_b)
+        )
+
+        res = ResidualBlocksWithInputConvDynamicDRT(
             in_channels=sum(f.shape[-1] for f in feat),
             out_channels=self.mid_channels,
             num_blocks=self.num_blocks,
@@ -230,12 +249,12 @@ class _ForwardStep(nn.Module):
             use_dynamic=self.use_dynamic,
             use_pallas=self.use_pallas,
             name="resblocks",
-        )(feat, par, weights, gamma, align_gate=gate)
+        )(feat, par, weights, gamma, align_gate=gate, head=head)
+        out, y_head = res if head is not None else (res, None)
 
         key_mask = is_key[:, None, None, None]
         new_last_key = jnp.where(key_mask, out, last_key)
 
-        c = self.mid_channels
         lrelu = lambda v: nn.leaky_relu(v, negative_slope=0.1)  # noqa: E731
         # the reference hardcodes 64-channel heads (iconvsr.py:365-366,
         # upsample2 -> 64 ch); identical at mid_channels=64, parameterized here
@@ -246,19 +265,15 @@ class _ForwardStep(nn.Module):
             up2_b = self.param("upsample2_bias", torch_conv_bias_default(9 * c), (4 * c,))
             y = lrelu(pixel_shuffle(conv2d_nhwc(out, up1_k, up1_b), 2))
             y = lrelu(pixel_shuffle(conv2d_nhwc(y, up2_k, up2_b), 2))
-            head_in = y
-            base = bilinear_resize(lr, 4)
-        else:
-            head_in = out
-            base = lr
-
-        hr_k = self.param("conv_hr_kernel", torch_conv_default, (3, 3, c, c))
-        hr_b = self.param("conv_hr_bias", torch_conv_bias_default(9 * c), (c,))
-        last_k = self.param("conv_last_kernel", torch_conv_default, (3, 3, c, 3))
-        last_b = self.param("conv_last_bias", torch_conv_bias_default(9 * c), (3,))
-        y = lrelu(conv2d_nhwc(head_in, hr_k, hr_b))
-        y = conv2d_nhwc(y, last_k, last_b)
-        y = y + base
+            y = lrelu(conv2d_nhwc(y, hr_k, hr_b))
+            y = conv2d_nhwc(y, last_k, last_b)
+            y = y + bilinear_resize(lr, 4)
+        elif y_head is not None:
+            y = y_head + lr
+        else:  # b == 1: plain XLA head (faster, no layout pressure)
+            y = lrelu(conv2d_nhwc(out, hr_k, hr_b))
+            y = conv2d_nhwc(y, last_k, last_b)
+            y = y + lr
         return (out, new_last_key, is_key), y
 
 

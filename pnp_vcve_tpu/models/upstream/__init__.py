@@ -5,6 +5,8 @@ from .stylegan2 import StyleGAN2Discriminator, StyleGAN2Generator
 from .vfi import CAINNet
 from .glean import GLEANStyleGANv2
 from .liif import LIIFEDSR, make_coord
+from .ttsr import LTE, TTSRNet, search_transformer
+from .dic import DICNet, FeedbackHourglass, reduce_to_five_heatmaps
 
 __all__ = [
     "ResnetGenerator",
@@ -18,4 +20,10 @@ __all__ = [
     "CAINNet",
     "GLEANStyleGANv2",
     "LIIFEDSR",
+    "TTSRNet",
+    "LTE",
+    "search_transformer",
+    "DICNet",
+    "FeedbackHourglass",
+    "reduce_to_five_heatmaps",
 ]

@@ -1,5 +1,7 @@
 """Degradation zoo tests (random_degradations.py / matlab_like_resize.py)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -82,3 +84,106 @@ def test_degradations_with_shuffle(img, rng):
     )
     out = pipe(img, rng)
     assert out.shape == img.shape and np.isfinite(out).all()
+
+
+# ---- SISR paired-image dataset modes ----------------------------------------
+
+
+def _write_png(path, arr):
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(arr).save(path)
+
+
+@pytest.fixture
+def sisr_root(tmp_path):
+    rng = np.random.default_rng(0)
+    root = str(tmp_path)
+    for i in range(3):
+        gt = rng.integers(0, 255, (32, 40, 3), np.uint8)
+        lq = gt[::2, ::2]
+        _write_png(os.path.join(root, "gt", f"{i:04d}.png"), gt)
+        _write_png(os.path.join(root, "lq", f"{i:04d}_x2.png"), lq)
+    with open(os.path.join(root, "ann.txt"), "w") as f:
+        for i in range(3):
+            f.write(f"{i:04d}.png (32,40,3)\n")
+    return root
+
+
+def test_sr_folder_dataset(sisr_root):
+    from pnp_vcve_tpu.data.sisr_datasets import SRFolderDataset
+
+    ds = SRFolderDataset(
+        lq_folder=os.path.join(sisr_root, "lq"),
+        gt_folder=os.path.join(sisr_root, "gt"),
+        scale=2, filename_tmpl="{}_x2", gt_patch_size=16,
+    )
+    assert len(ds) == 3
+    s = ds.sample(np.random.default_rng(1))
+    assert s["lq"].shape == (8, 8, 3) or s["lq"].shape == (8, 8, 3)
+    assert s["gt"].shape == (16, 16, 3)
+    # test mode: whole frames, scale relationship holds
+    ds_t = SRFolderDataset(
+        lq_folder=os.path.join(sisr_root, "lq"),
+        gt_folder=os.path.join(sisr_root, "gt"),
+        scale=2, filename_tmpl="{}_x2", test_mode=True,
+    )
+    item = next(iter(ds_t))
+    assert item["gt"].shape[0] == 2 * item["lq"].shape[0]
+
+
+def test_sr_folder_dataset_missing_pair(sisr_root, tmp_path):
+    from pnp_vcve_tpu.data.sisr_datasets import SRFolderDataset
+
+    with pytest.raises((FileNotFoundError, ValueError)):
+        SRFolderDataset(
+            lq_folder=os.path.join(sisr_root, "lq"),
+            gt_folder=os.path.join(sisr_root, "gt"),
+            scale=2,  # default tmpl '{}' does not match the _x2 names
+        )
+
+
+def test_sr_annotation_dataset(sisr_root):
+    from pnp_vcve_tpu.data.sisr_datasets import SRAnnotationDataset
+
+    ds = SRAnnotationDataset(
+        lq_folder=os.path.join(sisr_root, "lq"),
+        gt_folder=os.path.join(sisr_root, "gt"),
+        ann_file=os.path.join(sisr_root, "ann.txt"),
+        scale=2, filename_tmpl="{}_x2", gt_patch_size=16,
+    )
+    assert len(ds) == 3
+    s = ds.sample(np.random.default_rng(0))
+    assert s["gt"].shape == (16, 16, 3)
+    assert s["lq"].shape == (8, 8, 3)
+
+
+def test_sr_folder_gt_dataset(sisr_root):
+    from pnp_vcve_tpu.data.sisr_datasets import SRFolderGTDataset
+
+    ds = SRFolderGTDataset(gt_folder=os.path.join(sisr_root, "gt"), gt_patch_size=24)
+    s = ds.sample(np.random.default_rng(0))
+    assert s["gt"].shape == (24, 24, 3)
+    assert 0.0 <= s["gt"].min() and s["gt"].max() <= 1.0
+
+
+def test_sisr_dataset_builders(sisr_root):
+    from pnp_vcve_tpu.core.builder import build_dataset
+
+    ds = build_dataset(dict(
+        type="SRFolderDataset",
+        lq_folder=os.path.join(sisr_root, "lq"),
+        gt_folder=os.path.join(sisr_root, "gt"),
+        scale=2, filename_tmpl="{}_x2",
+        pipeline=[dict(type="PairedRandomCrop", gt_patch_size=16)],
+    ))
+    assert ds.gt_patch_size == 16
+    ds2 = build_dataset(dict(
+        type="SRAnnotationDataset",
+        lq_folder=os.path.join(sisr_root, "lq"),
+        gt_folder=os.path.join(sisr_root, "gt"),
+        ann_file=os.path.join(sisr_root, "ann.txt"),
+        scale=2, filename_tmpl="{}_x2",
+    ))
+    assert len(ds2) == 3

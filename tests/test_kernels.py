@@ -316,3 +316,47 @@ def test_trainable_stack_grads_match_xla(rng):
             np.asarray(a), np.asarray(b2), atol=2e-4, rtol=1e-3,
             err_msg=jax.tree_util.keystr(kp),
         )
+
+
+def test_head_pf_matches_xla(rng):
+    """Packed reconstruction head on PF input == XLA conv composition,
+    from both th=8 and th=16 PF geometries (edge-row masking included)."""
+    from pnp_vcve_tpu.kernels.drt_stack import _xla_head, head_pf, pack_pf
+
+    b, h, w, c = 2, 24, 32, 8
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    head = (
+        jnp.asarray(rng.standard_normal((3, 3, c, c)).astype(np.float32) * 0.1),
+        jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.1),
+        jnp.asarray(rng.standard_normal((3, 3, c, 3)).astype(np.float32) * 0.1),
+        jnp.asarray(rng.standard_normal((3,)).astype(np.float32) * 0.1),
+    )
+    expected = _xla_head(x, head)
+    for th in (8, 16):
+        got = head_pf(pack_pf(x, th), *head, h, w)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), atol=1e-4, rtol=1e-4
+        )
+
+
+def test_model_pallas_fused_head_b2(rng):
+    """b>=2 routes the reconstruction head through the packed Pallas kernel
+    (head_pf on the PF stack output); must match the XLA path."""
+    from pnp_vcve_tpu.models import PnPVCVE
+
+    b, t, h, w = 2, 2, 32, 32
+    lrs = jnp.asarray(rng.random((b, t, h, w, 3), np.float32))
+    qps = jnp.asarray(rng.random((b, t), np.float32))
+    slices = jnp.asarray(np.where(rng.random((b, t)) < 0.5, 73.0, 66.0))
+    mvs = jnp.asarray(rng.standard_normal((b, t, h, w, 4)).astype(np.float32))
+    base_qps = jnp.full((b, t), 15.0 / 255.0)
+    par = jnp.asarray((rng.random((b, t, h, w, 3)) > 0.5).astype(np.float32) / 255.0)
+
+    kw = dict(mid_channels=8, num_blocks=2, num_experts=2, remat=False)
+    ref_model = PnPVCVE(**kw, use_pallas_kernels=False)
+    params = ref_model.init(jax.random.PRNGKey(0), lrs, qps, slices, mvs, base_qps, par)
+    expected = ref_model.apply(params, lrs, qps, slices, mvs, base_qps, par)
+
+    pallas_model = PnPVCVE(**kw, use_pallas_kernels=True)
+    got = pallas_model.apply(params, lrs, qps, slices, mvs, base_qps, par)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=3e-4, rtol=1e-4)
