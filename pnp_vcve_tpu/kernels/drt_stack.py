@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .packing import pack_conv3x3_kernel_per_tap
+from .packing import pack_conv3x3_kernel_ab, pack_conv3x3_kernel_per_tap
 
 __all__ = ["drt_stack_packed", "drt_stack_packed_from_pf", "input_conv_pf", "pack_pf", "unpack_pf", "par_to_pf", "pf_geometry"]
 
@@ -145,6 +145,45 @@ def _band_dma(src_hbm, bi, band, sem, t, n_tiles, th, do_start: bool):
             d.wait()
 
 
+def _ab_conv(band, bband, wa, wb, rows, cols, c2, row0, col0):
+    """2-matmul-per-dy packed conv: A = the center pair band, B = the
+    cross-pair band (see packing.pack_conv3x3_kernel_ab). ``col0`` is the
+    CENTER column of output col 0."""
+    acc = jnp.zeros((rows * cols, c2), jnp.float32)
+    for dy in range(3):
+        a = band[row0 + dy : row0 + dy + rows, col0 : col0 + cols].reshape(
+            rows * cols, c2
+        )
+        bwin = bband[row0 + dy : row0 + dy + rows, col0 : col0 + cols].reshape(
+            rows * cols, c2
+        )
+        acc = acc + jnp.dot(a, wa[dy], preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(bwin, wb[dy], preferred_element_type=jnp.float32)
+    return acc
+
+
+def _cross_pair(src, rows, width, c):
+    """(rows, width, 2c) -> cross-pair band: out[r, j] = (src[r, j-1].hi,
+    src[r, j+1].lo), valid for j in [1, width-1).
+
+    The half-lane swap runs as ONE MXU pass against the block-swap
+    permutation matrix (Mosaic implements neither lane-offset concats nor
+    dynamic lane rotates for this layout); the rest is a same-lane select
+    between the two column-shifted views. Adds ~1 matmul pass per stage vs
+    the 6 it saves over the 3-tap form."""
+    c2 = 2 * c
+    vals = src[0:rows, 0:width]
+    ri_ = jax.lax.broadcasted_iota(jnp.int32, (c2, c2), 0)
+    ci_ = jax.lax.broadcasted_iota(jnp.int32, (c2, c2), 1)
+    perm = (jnp.abs(ri_ - ci_) == c).astype(vals.dtype)
+    rolled = jnp.dot(
+        vals.reshape(rows * width, c2), perm,
+        preferred_element_type=jnp.float32,
+    ).astype(vals.dtype).reshape(rows, width, c2)  # (hi[j], lo[j])
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, width - 2, c2), 2)
+    return jnp.where(lane < c, rolled[:, 0 : width - 2], rolled[:, 2:width])
+
+
 def _kernel(
     xpf_hbm, parpf_hbm, w2_ref, b2_ref, pk_ref, w1_ref, b1_ref, g_ref, o_ref,
     bands, parbands, hmid, sems, psems, *, th, c2, h, w, cols1, cols2,
@@ -175,6 +214,10 @@ def _kernel(
 
     # ---- stage 1: dynamic conv + bias, * gamma (h1 rows at orig
     # ri*th - 9 + r1, packed col pair jo1 = c1 - 1)
+    # NOTE: an A/B 2-matmul-per-dy reformulation (fewer MXU passes via a
+    # cross-pair band) measured SLOWER end to end (11.8 vs 13.7 f/s): the
+    # permutation matmul + shifted-lane selects + scratch round-trips cost
+    # more than the saved passes. Keep the per-tap form.
     acc = _tap_conv(band, w2_ref[0], rows1, cols1, c2, row0=0, col0=6)
     acc = (acc + b2_ref[0, 0].astype(jnp.float32)) * g_ref[0, 0].astype(jnp.float32)
     acc = acc.reshape(rows1, cols1, c2)
@@ -272,9 +315,10 @@ def _pack_pk(par_kernel):
 
 
 def _block_params_packed(blk, b, c2, dtype):
-    """Pack one block's parameters for the kernel. Matmul weights are cast
-    to the feature dtype (as the XLA composition does), biases/gamma stay
-    fp32 (added/multiplied on the fp32 accumulator)."""
+    """Pack one block's parameters for the kernel (A/B 2-matmul form).
+    Matmul weights are cast to the feature dtype (as the XLA composition
+    does), biases/gamma stay fp32 (added/multiplied on the fp32
+    accumulator)."""
     w2 = jax.vmap(pack_conv3x3_kernel_per_tap)(blk["dyn_kernels"]).astype(dtype)
     b2 = jnp.concatenate([blk["dyn_biases"]] * 2, -1).reshape(b, 1, c2)
     g = jnp.concatenate([blk["gamma"]] * 2, -1).reshape(b, 1, c2)
@@ -305,7 +349,13 @@ def drt_stack_packed_from_pf(
     c2 = xpf.shape[3]
     parpf = par_to_pf(par, th).astype(xpf.dtype)
     for blk in blocks:
-        w2, b2, pk, w1, b1, g = _block_params_packed(blk, b, c2, xpf.dtype)
+        if "w2" in blk:
+            # premixed/prepacked (expert mixing hoisted out of the scan)
+            w2 = blk["w2"].astype(xpf.dtype)
+            b2, g = blk["b2"], blk["g"]
+            pk, w1, b1 = _static_params_packed(blk, b, c2, xpf.dtype)
+        else:
+            w2, b2, pk, w1, b1, g = _block_params_packed(blk, b, c2, xpf.dtype)
         xpf = _drt_block_pf(
             xpf, parpf, w2, b2, pk, w1, b1, g,
             th=th, h=h, w=w, cols1=cols1, cols2=cols2,
@@ -350,6 +400,7 @@ def _input_conv_kernel(
     h % 8 == 0, so PF out tile ri covers orig rows [(ri-1)*8, ri*8) — tiles
     0 and n-1 are pure pad (written as zeros), tile 1 / n-2 zero-fill one
     context row, everything else DMAs th+2 full rows.
+
     """
     part_hbm = refs[:n_parts]
     w_refs = refs[n_parts : 2 * n_parts]
@@ -560,6 +611,7 @@ def _xla_block_compose(x, par, blocks):
     from pnp_vcve_tpu.ops.dynamic_conv import conv2d_nhwc, dynamic_conv2d
 
     for blk in blocks:
+        blk = _as_unpacked_block(blk)
         dyres = None
         for r in range(3):
             gated = x * par[..., r : r + 1].astype(x.dtype)
@@ -903,3 +955,82 @@ def make_trainable_input_stack_head(
 
     fg.defvjp(fwd_g, bwd_g)
     return fg
+
+
+# ---- expert premix: hoist the per-step expert mixing out of the scan ------
+
+
+def premix_block_params(weights_t, gammas_t, bank, bias_bank, dtype):
+    """Mix + pack ONE block's expert-routed dynamic conv for ALL frames at
+    once: (t,b,E) routing x (E,3,3,c,c) bank -> A/B-packed per-frame params
+    {wa2, wb2 (t,b,3,2c,2c) ``dtype``; b2, g (t,b,1,2c) fp32}.
+
+    Motivation (xplane trace): mixing inside the scan re-reads every
+    block's full fp32 expert bank (9.4 MB x 16 banks) each frame and
+    re-packs per step; hoisting turns that into ONE bank read per window,
+    with the scan streaming only the tiny mixed kernels as xs.
+    """
+    mixed = jnp.einsum(
+        "tbe,eyxio->tbyxio", weights_t, bank,
+        preferred_element_type=jnp.float32,
+    )
+    biases = jnp.einsum(
+        "tbe,ec->tbc", weights_t, bias_bank, preferred_element_type=jnp.float32
+    )
+    w2 = jax.vmap(jax.vmap(pack_conv3x3_kernel_per_tap))(mixed).astype(dtype)
+    b2 = jnp.concatenate([biases] * 2, -1)[:, :, None, :]
+    g = jnp.concatenate([gammas_t.astype(jnp.float32)] * 2, -1)[:, :, None, :]
+    return dict(w2=w2, b2=b2, g=g)
+
+
+def premix_zeros(t, b, c, dtype):
+    """Shape-only placeholder for init passes (params not created yet)."""
+    c2 = 2 * c
+    return dict(
+        w2=jnp.zeros((t, b, 3, 3, c2, c2), dtype),
+        b2=jnp.zeros((t, b, 1, c2), jnp.float32),
+        g=jnp.ones((t, b, 1, c2), jnp.float32),
+    )
+
+
+def _static_params_packed(blk, b, c2, dtype):
+    """pk/w1/b1 for a PREPACKED block dict (raw par/conv1 entries)."""
+    pk = jnp.broadcast_to(
+        _pack_pk(blk["par_kernel"].astype(dtype))[None], (b, 3, c2, c2)
+    )
+    w1 = jnp.broadcast_to(
+        pack_conv3x3_kernel_per_tap(blk["conv1_kernel"].astype(dtype))[None],
+        (b, 3, 3, c2, c2),
+    )
+    b1 = jnp.broadcast_to(
+        jnp.concatenate([blk["conv1_bias"]] * 2).reshape(1, 1, c2), (b, 1, c2)
+    )
+    return pk, w1, b1
+
+
+def _unpack_pertap_kernel(w2):
+    """Inverse of pack_conv3x3_kernel_per_tap: (b, 3, 3, 2c, 2co) ->
+    (b, 3, 3, c, co) HWIO kernels, read from the dense k=1 slot (for the
+    XLA VJP composition)."""
+    c = w2.shape[3] // 2
+    co = w2.shape[4] // 2
+    k1s = w2[:, :, 1]
+    k0 = k1s[:, :, 0:c, co:]
+    k1 = k1s[:, :, 0:c, 0:co]
+    k2 = k1s[:, :, c:, 0:co]
+    return jnp.stack([k0, k1, k2], axis=2)
+
+
+def _as_unpacked_block(blk):
+    """Prepacked block dict -> the unpacked form _xla_block_compose eats."""
+    if "w2" not in blk:
+        return blk
+    c = blk["w2"].shape[3] // 2
+    return dict(
+        dyn_kernels=_unpack_pertap_kernel(blk["w2"]),
+        dyn_biases=blk["b2"][:, 0, :c],
+        gamma=blk["g"][:, 0, :c],
+        par_kernel=blk["par_kernel"],
+        conv1_kernel=blk["conv1_kernel"],
+        conv1_bias=blk["conv1_bias"],
+    )

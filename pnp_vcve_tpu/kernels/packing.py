@@ -78,3 +78,32 @@ def pack_pointwise_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
     out = out.at[0:c, 0:n].set(kernel)
     out = out.at[c : 2 * c, n : 2 * n].set(kernel)
     return out
+
+
+def pack_conv3x3_kernel_ab(kernel: jnp.ndarray):
+    """(3, 3, c, c_out) HWIO -> (W_A, W_B), each (3, 2c, 2c_out): the
+    2-matmul-per-row packed formulation.
+
+    For output packed col j (pixels 2j, 2j+1) the 3 horizontal taps read
+    pixels 2j-1..2j+2 = the center pair (lo[j], hi[j]) plus the cross-pair
+    lanes (hi[j-1], lo[j+1]). So per dy:
+
+        out[j] = A[j] @ W_A[dy] + B[j] @ W_B[dy]
+        A[j] = band[j]                      (lo[j], hi[j])     - DENSE kernel
+        B[j] = (band[j-1].hi, band[j+1].lo) (cross-pair lanes) - half-dense
+
+    vs the 3-tap packed form (pack_conv3x3_kernel_per_tap) whose k=0/k=2
+    kernels are 3/4 zero: 2 MXU passes per dy instead of 3 (12 logical
+    "c^2 units" -> 8, i.e. 1.33x waste instead of 2x). The B band is one
+    lane-concat of two shifted views, built once per tile in VMEM.
+    """
+    _, _, c, co = kernel.shape
+    wa = jnp.zeros((3, 2 * c, 2 * co), kernel.dtype)
+    wa = wa.at[:, 0:c, 0:co].set(kernel[:, 1])        # lo[j] -> even (dx=1)
+    wa = wa.at[:, c:, 0:co].set(kernel[:, 2])         # hi[j] -> even (dx=2)
+    wa = wa.at[:, 0:c, co:].set(kernel[:, 0])         # lo[j] -> odd  (dx=0)
+    wa = wa.at[:, c:, co:].set(kernel[:, 1])          # hi[j] -> odd  (dx=1)
+    wb = jnp.zeros((3, 2 * c, 2 * co), kernel.dtype)
+    wb = wb.at[:, 0:c, 0:co].set(kernel[:, 0])        # hi[j-1] -> even (dx=0)
+    wb = wb.at[:, c:, co:].set(kernel[:, 2])          # lo[j+1] -> odd  (dx=2)
+    return wa, wb

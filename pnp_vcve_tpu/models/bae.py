@@ -143,6 +143,17 @@ class DRTBlock(nn.Module):
             gamma=g,
         )
 
+    def packed_inputs_premixed(self, pm: dict) -> dict:
+        """Block param dict from PREMIXED per-frame packed dynamics
+        (kernels.drt_stack.premix_block_params) + this block's static
+        par/conv1 params."""
+        return dict(
+            pm,
+            par_kernel=self.par_kernel,
+            conv1_kernel=self.conv1_kernel,
+            conv1_bias=self.conv1_bias,
+        )
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -241,6 +252,7 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
         gamma: Optional[jnp.ndarray],
         align_gate: Optional[jnp.ndarray] = None,
         head=None,
+        premixed=None,
     ) -> jnp.ndarray:
         """``x``: (b,h,w,cin) array, or a SEQUENCE of arrays whose channels
         sum to ``in_channels`` — conv(concat(parts)) is computed as
@@ -312,7 +324,13 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
                 )
                 for i in range(self.num_blocks)
             ]
-            params = [blk.packed_inputs(weights, gamma) for blk in blocks]
+            if premixed is not None:
+                params = [
+                    blk.packed_inputs_premixed(pm)
+                    for blk, pm in zip(blocks, premixed)
+                ]
+            else:
+                params = [blk.packed_inputs(weights, gamma) for blk in blocks]
             gate = (
                 align_gate.astype(jnp.float32)
                 if align_gate is not None

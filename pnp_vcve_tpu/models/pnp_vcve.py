@@ -137,6 +137,48 @@ class _BackwardStep(nn.Module):
             )(feat, flow)
         raise ValueError(f"No such DCN type: {self.deform!r}")
 
+    def premix(self, weights_t, gammas_t, dtype):
+        """Expert mixing + packing for ALL t frames at once, called
+        UNSCANNED on the scan-wrapped module (shares the resblocks params).
+        Inside the scan the mixing would re-read every block's full fp32
+        expert bank per frame (xplane trace: ~150 MB/step of weight
+        traffic); hoisted, the banks are read once per window and the scan
+        streams the tiny per-frame mixed kernels as xs. Returns None when
+        the fused PF path (the only consumer) is off."""
+        if not (
+            self.use_pallas
+            and self.one_layer
+            and self.channel_first
+            and self.use_dynamic
+        ):
+            return None
+        from pnp_vcve_tpu.kernels.drt_stack import (
+            premix_block_params,
+            premix_zeros,
+        )
+
+        t, b = weights_t.shape[:2]
+        c = self.mid_channels
+        g_eff = (
+            gammas_t
+            if (self.with_se and self.use_dynamic)
+            else jnp.ones((t, b, c), jnp.float32)
+        )
+        p = self.variables.get("params", {}).get("resblocks", None)
+        out = []
+        for i in range(self.num_blocks):
+            blk = (p or {}).get(f"block{i}", None)
+            if blk is None or "conv2" not in blk:
+                out.append(premix_zeros(t, b, c, dtype))  # init pass
+            else:
+                out.append(
+                    premix_block_params(
+                        weights_t, g_eff, blk["conv2"]["bank"],
+                        blk["conv2"]["bias_bank"], dtype,
+                    )
+                )
+        return out
+
     @nn.compact
     def __call__(self, carry, xs):
         # O(1) carry: in scan order the nearest future keyframe is always
@@ -144,7 +186,7 @@ class _BackwardStep(nn.Module):
         # store is needed (the reference keeps a Python list; a carried
         # buffer costs a full copy per step under XLA).
         prev_out, last_key, prev_was_key = carry
-        lr, flow, par, weights, gamma, is_key = xs
+        lr, flow, par, weights, gamma, is_key, premixed = xs
 
         # At the first scan step the carry is all-zeros and warp(0) == 0, so
         # no first-step masking is needed (the reference's i==t-1/i==0 zero
@@ -174,7 +216,7 @@ class _BackwardStep(nn.Module):
             use_dynamic=self.use_dynamic,
             use_pallas=self.use_pallas,
             name="resblocks",
-        )(feat, par, weights, gamma, align_gate=gate)
+        )(feat, par, weights, gamma, align_gate=gate, premixed=premixed)
 
         key_mask = is_key[:, None, None, None]
         last_key = jnp.where(key_mask, out, last_key)
@@ -201,11 +243,12 @@ class _ForwardStep(nn.Module):
     warp_impl: str = "padgather"
 
     _align = _BackwardStep._align
+    premix = _BackwardStep.premix
 
     @nn.compact
     def __call__(self, carry, xs):
         prev_out, last_key, prev_was_key = carry
-        lr, flow, par, weights, gamma, is_key, cur = xs
+        lr, flow, par, weights, gamma, is_key, cur, premixed = xs
 
         key_warp = self._align(last_key, flow)
 
@@ -249,7 +292,8 @@ class _ForwardStep(nn.Module):
             use_dynamic=self.use_dynamic,
             use_pallas=self.use_pallas,
             name="resblocks",
-        )(feat, par, weights, gamma, align_gate=gate, head=head)
+        )(feat, par, weights, gamma, align_gate=gate, head=head,
+          premixed=premixed)
         out, y_head = res if head is not None else (res, None)
 
         key_mask = is_key[:, None, None, None]
@@ -404,13 +448,21 @@ class PnPVCVE(nn.Module):
         # per-frame flows: backward step i warps with mvs[:, i, ..., 2:4],
         # forward step i with mvs[:, i, ..., 0:2] (the reference's shifted
         # flows_forward[:, i-1] equals mvs[:, i] directly, iconvsr_ipb.py:33-46)
+        wt = tfirst(weights.astype(jnp.float32))
+        gt = tfirst(gammas.astype(jnp.float32))
+        # expert mixing hoisted out of both scans (premix docstring); the
+        # unscanned method call shares the scanned modules' params
+        pm_bwd = bwd.premix(wt[rev], gt[rev], dtype)
+        pm_fwd = fwd.premix(wt, gt, dtype)
+
         xs_bwd = (
             tfirst(lrs_c)[rev],
             tfirst(flows_bwd.astype(dtype))[rev],
             tfirst(par_map.astype(dtype))[rev],
-            tfirst(weights.astype(jnp.float32))[rev],
-            tfirst(gammas.astype(jnp.float32))[rev],
+            wt[rev],
+            gt[rev],
             tfirst(keyframe)[rev],
+            pm_bwd,
         )
         _, bwd_feats = bwd(carry0, xs_bwd)
         bwd_feats = bwd_feats[rev]  # back to time order, (t, b, h, w, c)
@@ -419,10 +471,11 @@ class PnPVCVE(nn.Module):
             tfirst(lrs_c),
             tfirst(flows_fwd.astype(dtype)),
             tfirst(par_map.astype(dtype)),
-            tfirst(weights.astype(jnp.float32)),
-            tfirst(gammas.astype(jnp.float32)),
+            wt,
+            gt,
             tfirst(keyframe),
             bwd_feats,
+            pm_fwd,
         )
         _, ys = fwd(carry0, xs_fwd)
 

@@ -267,31 +267,17 @@ def _warp_single_block8(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
     ).reshape(nby, nbx, _BLOCK + 1, _BLOCK + 1, c)
 
-    # per-pixel validity folded into the bilinear weights (padgather rules)
-    row = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    col = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    fy_full = jnp.repeat(jnp.repeat(fy, _BLOCK, 0), _BLOCK, 1)
-    fx_full = jnp.repeat(jnp.repeat(fx, _BLOCK, 0), _BLOCK, 1)
-    py = row + fy_full
-    px = col + fx_full
-    y0 = jnp.floor(py)
-    x0 = jnp.floor(px)
-    ok_y0 = (y0 >= -1) & (y0 <= h - 1)
-    ok_y1 = (y0 + 1 >= 0) & (y0 + 1 <= h)
-    ok_x0 = (x0 >= -1) & (x0 <= w - 1)
-    ok_x1 = (x0 + 1 >= 0) & (x0 + 1 <= w)
-
-    def blocked(m):  # (h, w) -> (nby, nbx, 8, 8, 1)
-        return (
-            m.reshape(nby, _BLOCK, nbx, _BLOCK)
-            .transpose(0, 2, 1, 3)[..., None]
-            .astype(dtype)
-        )
-
-    wy1 = blocked(jnp.where(ok_y1, py - y0, 0.0))
-    wy0 = blocked(jnp.where(ok_y0, 1.0 - (py - y0), 0.0))
-    wx1 = blocked(jnp.where(ok_x1, px - x0, 0.0))
-    wx0 = blocked(jnp.where(ok_x0, 1.0 - (px - x0), 0.0))
+    # per-pixel validity folded into the bilinear weights (padgather
+    # rules). The weights are SEPARABLE per block — row weights depend on
+    # (block, row), col weights on (block, col) — so they are built as
+    # per-block 8-vectors and broadcast, instead of 4 full-frame (h, w)
+    # maps + blocked() transposes (measured: the maps + transposes were
+    # most of the warp's XLA glue).
+    wy0v, wy1v, wx0v, wx1v = _block8_weight_vectors(fx, fy, h, w)
+    wy0 = wy0v[:, :, :, None, None].astype(dtype)   # (nby, nbx, 8, 1, 1)
+    wy1 = wy1v[:, :, :, None, None].astype(dtype)
+    wx0 = wx0v[:, :, None, :, None].astype(dtype)   # (nby, nbx, 1, 8, 1)
+    wx1 = wx1v[:, :, None, :, None].astype(dtype)
 
     B = _BLOCK
     r0 = g[:, :, 0:B, 0:B] * wy0 + g[:, :, 1 : B + 1, 0:B] * wy1
@@ -359,3 +345,32 @@ def flow_warp(
     if padding_mode != "zeros":
         raise NotImplementedError(f"{padding_mode=} requires impl='blockgather'")
     return jax.vmap(_warp_single, in_axes=(0, 0, None))(x, flow, interpolation)
+
+
+def _block8_weight_vectors(fx, fy, h, w):
+    """Validity-folded separable bilinear weights per block:
+    (nby, nbx, 8) row weights wy0/wy1 and col weights wx0/wx1, matching
+    _warp_single_block8's per-pixel maps exactly (floor(y+fy) == y +
+    floor(fy) for integer y)."""
+    dy = jnp.floor(fy)
+    dx = jnp.floor(fx)
+    wyf = (fy - dy)[..., None]
+    wxf = (fx - dx)[..., None]
+    r8 = jnp.arange(8, dtype=jnp.float32)
+    gy = (
+        jax.lax.broadcasted_iota(jnp.float32, fy.shape, 0)[..., None] * _BLOCK
+        + r8
+    )
+    gx = (
+        jax.lax.broadcasted_iota(jnp.float32, fx.shape, 1)[..., None] * _BLOCK
+        + r8
+    )
+    y0 = gy + dy[..., None]
+    x0 = gx + dx[..., None]
+    wy1 = jnp.where((y0 + 1 >= 0) & (y0 + 1 <= h), wyf, 0.0)
+    wy0 = jnp.where((y0 >= -1) & (y0 <= h - 1), 1.0 - wyf, 0.0)
+    wx1 = jnp.where((x0 + 1 >= 0) & (x0 + 1 <= w), wxf, 0.0)
+    wx0 = jnp.where((x0 >= -1) & (x0 <= w - 1), 1.0 - wxf, 0.0)
+    return wy0, wy1, wx0, wx1
+
+

@@ -187,3 +187,53 @@ def test_sisr_dataset_builders(sisr_root):
         scale=2, filename_tmpl="{}_x2",
     ))
     assert len(ds2) == 3
+
+
+# ---- dataset prep tool (pure parsers) ---------------------------------------
+
+
+def test_prepare_x264_log_parser():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "prep", os.path.join(os.path.dirname(__file__), "..", "tools",
+                             "data", "prepare_compressed_dataset.py"))
+    prep = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(prep)
+
+    log = """
+[libx264 @ 0x55] frame=   0 QP=20.85 NAL=3 Slice:I Poc:0   I:3600 P:0
+[libx264 @ 0x55] frame=   1 QP=23.51 NAL=2 Slice:P Poc:2   I:12   P:3000
+[libx264 @ 0x55] frame=   2 QP=24.00 NAL=2 Slice:B Poc:4   I:0    P:10
+junk line
+"""
+    frames = prep.parse_x264_frame_log(log)
+    assert frames == {0: (20.85, "I"), 1: (23.51, "P"), 2: (24.0, "B")}
+
+
+def test_prepare_mv_record_layout():
+    import importlib.util
+    from types import SimpleNamespace
+
+    spec = importlib.util.spec_from_file_location(
+        "prep", os.path.join(os.path.dirname(__file__), "..", "tools",
+                             "data", "prepare_compressed_dataset.py"))
+    prep = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(prep)
+
+    mv = SimpleNamespace(source=-1, w=16, h=8, src_x=24, src_y=12,
+                         dst_x=40, dst_y=20, motion_x=-64, motion_y=32,
+                         motion_scale=4)
+    rec = prep.mv_records_from_sidedata([mv], "P")
+    assert rec.shape == (1, 10)
+    direction, w, h, x_w, y_w, x, y, mx, my, scale = rec[0]
+    assert (direction, w, h) == (-1, 16, 8)
+    assert (x_w, y_w) == (24 - 8, 12 - 4)  # center -> top-left corner
+    assert (x, y) == (40 - 8, 20 - 4)
+    assert (mx, my, scale) == (-64, 32, 4)
+    # rasterizer accepts the rows directly
+    from pnp_vcve_tpu.data.mv_raster import rasterize_clip
+
+    mvs, par = rasterize_clip([rec], ["P"], 32, 64)
+    assert mvs.shape == (1, 32, 64, 4)
+    assert prep.mv_records_from_sidedata([], "I").shape == (0, 10)

@@ -360,3 +360,38 @@ def test_model_pallas_fused_head_b2(rng):
     pallas_model = PnPVCVE(**kw, use_pallas_kernels=True)
     got = pallas_model.apply(params, lrs, qps, slices, mvs, base_qps, par)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=3e-4, rtol=1e-4)
+
+
+def test_input_conv_pf_ab_fullwidth_part(rng):
+    """input_conv_pf with 64-channel parts exercises the A/B (2-matmul)
+    path; 3-channel parts stay on the lane-padded tap path. Both must match
+    the XLA sum-of-convs."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pnp_vcve_tpu.kernels.drt_stack import input_conv_pf, unpack_pf
+
+    b, h, w = 1, 16, 16
+    c_lr, c_f = 3, 64
+    lr = jnp.asarray(rng.standard_normal((b, h, w, c_lr)).astype(np.float32))
+    f1 = jnp.asarray(rng.standard_normal((b, h, w, c_f)).astype(np.float32))
+    f2 = jnp.asarray(rng.standard_normal((b, h, w, c_f)).astype(np.float32))
+    cin = c_lr + 2 * c_f
+    kernel = jnp.asarray(
+        rng.standard_normal((3, 3, cin, 64)).astype(np.float32) * 0.1
+    )
+    bias = jnp.asarray(rng.standard_normal((64,)).astype(np.float32) * 0.1)
+
+    with pltpu.force_tpu_interpret_mode():
+        got_pf = input_conv_pf([lr, f1, f2], kernel, bias, cout=64)
+    got = unpack_pf(got_pf, h, w)
+
+    x = jnp.concatenate([lr, f1, f2], axis=-1)
+    ref = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ) + bias
+    ref = jnp.where(ref >= 0, ref, 0.1 * ref).astype(jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref), atol=2e-4, rtol=2e-4
+    )

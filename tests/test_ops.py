@@ -272,3 +272,26 @@ def test_upfirdn2d_matches_manual(rng):
     ref = ref[:, ::down, ::down]
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_block8_separable_weights_match_padgather(rng):
+    """block8 with SEPARABLE per-block weight vectors == the generic
+    per-pixel padgather on block-constant flows (incl. fully-out-of-frame
+    and partially visible blocks)."""
+    from pnp_vcve_tpu.ops.warp import (
+        _warp_single_block8,
+        _warp_single_padgather,
+    )
+
+    h, w, c = 16, 24, 8
+    x = jnp.asarray(rng.standard_normal((h, w, c)).astype(np.float32))
+    fb = (rng.standard_normal((h // 8, w // 8, 2)) * 5).astype(np.float32)
+    fb[0, 0] = (40.0, -40.0)   # fully out of frame -> zero output
+    fb[1, 0] = (-3.3, 6.7)     # partially visible at the bottom-left
+    flow = jnp.asarray(np.repeat(np.repeat(fb, 8, 0), 8, 1))
+
+    ref = _warp_single_padgather(x, flow, False)
+    got = _warp_single_block8(x, flow)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
