@@ -444,6 +444,28 @@ def _build_center_restorer(generator: dict, pixel_loss: dict = None, test_cfg=No
     )
 
 
+@MODELS.register(name="CycleGAN")
+def _build_cyclegan(generator: dict, discriminator: dict, gan_loss=None,
+                    cycle_loss=None, id_loss=None, **kwargs):
+    """CycleGAN container (reference synthesizers/cycle_gan.py:18-95):
+    two direction generators + two domain discriminators; the training
+    wiring is train.gan.make_cyclegan_train_step."""
+    from types import SimpleNamespace
+
+    gl = dict(gan_loss or {})
+    cl = dict(cycle_loss or {})
+    il = dict(id_loss or {})
+    return SimpleNamespace(
+        generator_a=build_generator(dict(generator)),
+        generator_b=build_generator(dict(generator)),
+        disc_a=COMPONENTS.build(dict(discriminator)),
+        disc_b=COMPONENTS.build(dict(discriminator)),
+        gan_type=gl.get("gan_type", "lsgan"),
+        cycle_weight=cl.get("loss_weight", 10.0),
+        id_weight=il.get("loss_weight", 0.5),
+    )
+
+
 @BACKBONES.register(name="EDVRNet")
 def _build_edvr(**kwargs):
     from pnp_vcve_tpu.models.baselines.edvr import EDVRNet
@@ -647,6 +669,16 @@ def _build_sr_lmdb(lq_folder, gt_folder, scale, pipeline=None, test_mode=False, 
     return SRLmdbDataset(
         lq_folder=lq_folder, gt_folder=gt_folder, scale=scale,
         test_mode=test_mode, gt_patch_size=_gt_patch_from_pipeline(pipeline),
+    )
+
+
+@DATASETS.register(name="GenerationUnpairedDataset")
+def _build_gen_unpaired(dataroot, pipeline=None, test_mode=False, **kwargs):
+    from pnp_vcve_tpu.data.extra_datasets import GenerationUnpairedDataset
+
+    known = {k: v for k, v in kwargs.items() if k in ("crop_size", "flip")}
+    return GenerationUnpairedDataset(
+        dataroot=dataroot, test_mode=test_mode, **known
     )
 
 

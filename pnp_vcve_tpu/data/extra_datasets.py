@@ -32,7 +32,7 @@ from .pipeline import (
 )
 from .qp_slice import QpSliceLookup
 
-__all__ = ["KittiPairDataset", "VimeoMixDataset", "GenerationPairedDataset"]
+__all__ = ["KittiPairDataset", "VimeoMixDataset", "GenerationPairedDataset", "GenerationUnpairedDataset"]
 
 
 @dataclass
@@ -236,3 +236,72 @@ class GenerationPairedDataset:
         for i in range(len(self.paths)):
             a, b = self.load_pair(i)
             yield {"img_a": a, "img_b": b, "pair_path": self.paths[i]}
+
+
+@dataclass
+class GenerationUnpairedDataset:
+    """Unpaired image-generation dataset (CycleGAN protocol).
+
+    Reference: mmedit/datasets/generation_unpaired_dataset.py:9-100 —
+    domains live in ``dataroot/{train,test}{A,B}``; train samples pick a
+    RANDOM image from each domain (B index randomized, matching the
+    reference's prepare_train_data idx_b), test iterates both in lockstep
+    (cycling the shorter list).
+    """
+
+    dataroot: str
+    test_mode: bool = False
+    crop_size: int = 256
+    flip: bool = True
+
+    def __post_init__(self):
+        phase = "test" if self.test_mode else "train"
+        self.paths_a = self._scan(os.path.join(self.dataroot, phase + "A"))
+        self.paths_b = self._scan(os.path.join(self.dataroot, phase + "B"))
+
+    @staticmethod
+    def _scan(root):
+        if not os.path.isdir(root):
+            raise FileNotFoundError(f"no domain folder {root}")
+        paths = sorted(
+            os.path.join(root, f)
+            for f in os.listdir(root)
+            if f.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        if not paths:
+            raise FileNotFoundError(f"no images under {root}")
+        return paths
+
+    def __len__(self):
+        return max(len(self.paths_a), len(self.paths_b))
+
+    def _load(self, path, rng=None):
+        img = _load_png(path).astype(np.float32) / 127.5 - 1.0  # [-1, 1]
+        if rng is not None:
+            h, w = img.shape[:2]
+            cs = min(self.crop_size, h, w)
+            top = int(rng.integers(0, h - cs + 1))
+            left = int(rng.integers(0, w - cs + 1))
+            img = img[top : top + cs, left : left + cs]
+            if self.flip and rng.random() < 0.5:
+                img = img[:, ::-1].copy()
+        return img
+
+    def sample(self, rng: np.random.Generator) -> dict:
+        ia = int(rng.integers(0, len(self.paths_a)))
+        ib = int(rng.integers(0, len(self.paths_b)))  # unpaired: random b
+        return {
+            "img_a": self._load(self.paths_a[ia], rng),
+            "img_b": self._load(self.paths_b[ib], rng),
+            "img_a_path": self.paths_a[ia],
+            "img_b_path": self.paths_b[ib],
+        }
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield {
+                "img_a": self._load(self.paths_a[i % len(self.paths_a)]),
+                "img_b": self._load(self.paths_b[i % len(self.paths_b)]),
+                "img_a_path": self.paths_a[i % len(self.paths_a)],
+                "img_b_path": self.paths_b[i % len(self.paths_b)],
+            }

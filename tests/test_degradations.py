@@ -237,3 +237,29 @@ def test_prepare_mv_record_layout():
     mvs, par = rasterize_clip([rec], ["P"], 32, 64)
     assert mvs.shape == (1, 32, 64, 4)
     assert prep.mv_records_from_sidedata([], "I").shape == (0, 10)
+
+
+def test_generation_unpaired_dataset(tmp_path):
+    from pnp_vcve_tpu.core.builder import build_dataset
+
+    rng = np.random.default_rng(0)
+    for phase, n in (("trainA", 3), ("trainB", 2), ("testA", 2), ("testB", 2)):
+        for i in range(n):
+            _write_png(
+                os.path.join(str(tmp_path), phase, f"{i}.png"),
+                rng.integers(0, 255, (40, 40, 3), np.uint8),
+            )
+    ds = build_dataset(dict(
+        type="GenerationUnpairedDataset", dataroot=str(tmp_path),
+        crop_size=16,
+    ))
+    assert len(ds) == 3
+    s = ds.sample(np.random.default_rng(1))
+    assert s["img_a"].shape == (16, 16, 3)
+    assert -1.0 <= s["img_a"].min() and s["img_a"].max() <= 1.0
+    ds_t = build_dataset(dict(
+        type="GenerationUnpairedDataset", dataroot=str(tmp_path),
+        test_mode=True,
+    ))
+    items = list(ds_t)
+    assert len(items) == 2 and items[0]["img_b"].shape == (40, 40, 3)

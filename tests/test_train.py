@@ -119,3 +119,67 @@ def test_paramwise_lr_mult():
     updates, _ = tx.update(grads, state, params)
     ratio = float(updates["spynet"]["w"][0] / updates["head"]["w"][0])
     assert ratio == pytest.approx(0.125, rel=1e-5)
+
+
+def test_ema_update_semantics():
+    """EMA: tracks raw params before start_iter, lerps after (reference
+    core/hooks/ema.py lerp: new_ema = p + (ema - p) * momentum)."""
+    import jax.numpy as jnp
+
+    from pnp_vcve_tpu.train.ema import ema_init, ema_update
+
+    p0 = {"w": jnp.asarray([1.0, 2.0])}
+    ema = ema_init(p0)
+    p1 = {"w": jnp.asarray([3.0, 4.0])}
+    # warmup: copies the live params
+    ema = ema_update(ema, p1, step=0, momentum=0.9, start_iter=5)
+    np.testing.assert_allclose(np.asarray(ema["w"]), [3.0, 4.0])
+    # past start: lerp toward old ema with weight momentum
+    p2 = {"w": jnp.asarray([13.0, 14.0])}
+    ema = ema_update(ema, p2, step=5, momentum=0.9, start_iter=5, interval=1)
+    np.testing.assert_allclose(
+        np.asarray(ema["w"]), [13.0 + (3.0 - 13.0) * 0.9, 14.0 + (4.0 - 14.0) * 0.9]
+    )
+    # off-interval tick: unchanged
+    before = np.asarray(ema["w"]).copy()
+    ema = ema_update(ema, p1, step=6, momentum=0.9, start_iter=0, interval=2)
+    np.testing.assert_allclose(np.asarray(ema["w"]), before)
+
+
+def test_cyclegan_train_step_decreases_losses():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pnp_vcve_tpu.models.upstream import PatchDiscriminator, ResnetGenerator
+    from pnp_vcve_tpu.train.gan import make_cyclegan_train_step
+    from pnp_vcve_tpu.train.state import create_train_state
+
+    rng = np.random.default_rng(0)
+    img_a = jnp.asarray(rng.random((1, 32, 32, 3), np.float32) * 2 - 1)
+    img_b = jnp.asarray(rng.random((1, 32, 32, 3), np.float32) * 2 - 1)
+
+    gen_kw = dict(base_channels=8, num_blocks=1)
+    ga = ResnetGenerator(**gen_kw)
+    gb = ResnetGenerator(**gen_kw)
+    da = PatchDiscriminator(base_channels=8, num_conv=1)
+    db = PatchDiscriminator(base_channels=8, num_conv=1)
+
+    key = jax.random.PRNGKey(0)
+    tx = optax.adam(2e-4)
+    mk = lambda mod, k, x: create_train_state(  # noqa: E731
+        mod.init(k, x)["params"], tx
+    )
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    ga_s, gb_s = mk(ga, k1, img_a), mk(gb, k2, img_b)
+    da_s, db_s = mk(da, k3, img_a), mk(db, k4, img_b)
+
+    step = make_cyclegan_train_step(ga, gb, da, db, donate=False)
+    batch = {"img_a": img_a, "img_b": img_b}
+    metrics0 = None
+    for _ in range(3):
+        ga_s, gb_s, da_s, db_s, metrics = step(ga_s, gb_s, da_s, db_s, batch)
+        if metrics0 is None:
+            metrics0 = metrics
+    assert float(metrics["loss_g"]) < float(metrics0["loss_g"])
+    assert np.isfinite(float(metrics["loss_da"]))
