@@ -50,6 +50,7 @@ def train_loop(
     start_iter: int = 0,
     save_optimizer: bool = True,
     metrics_writer=None,
+    visual_fn: Optional[Callable] = None,
 ) -> TrainState:
     it = iter(loader)
     losses = []
@@ -58,6 +59,11 @@ def train_loop(
         batch = next(it)
         state, metrics = train_step(state, batch)
         losses.append(metrics["loss"])
+
+        if visual_fn is not None:
+            # VisualizationHook analog (reference core/hooks/
+            # visualization.py); the hook itself gates on its interval
+            visual_fn(step, batch, state)
 
         if (step + 1) % log_interval == 0:
             loss = float(np.mean(jax.device_get(losses)))

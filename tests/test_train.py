@@ -183,3 +183,28 @@ def test_cyclegan_train_step_decreases_losses():
             metrics0 = metrics
     assert float(metrics["loss_g"]) < float(metrics0["loss_g"])
     assert np.isfinite(float(metrics["loss_da"]))
+
+
+def test_visualization_hook(tmp_path):
+    from pnp_vcve_tpu.train.visualization import VisualizationHook, make_image_grid
+
+    rng = np.random.default_rng(0)
+    hook = VisualizationHook(
+        str(tmp_path), ["lq", "output"], interval=2, rerange=False, nrow=2
+    )
+    res = {
+        "lq": rng.random((2, 8, 8, 3), np.float32),
+        "output": rng.random((2, 8, 8, 3), np.float32),
+    }
+    assert hook(0, res) is None         # off-interval
+    path = hook(1, res)                 # (step+1) % 2 == 0
+    assert path is not None and path.endswith("iter_2.png")
+    from PIL import Image
+
+    with Image.open(path) as im:
+        wpx, hpx = im.size
+    # 4 tiles, 2 per row, 4px padding: 2*8+4 = 20 each way
+    assert (wpx, hpx) == (20, 20)
+
+    g = make_image_grid([np.full((4, 4, 3), -1.0)], rerange=True)
+    assert g.max() == 0  # [-1,1] -> [0,1] rerange maps -1 to 0

@@ -328,6 +328,41 @@ def main():
                 verbose=False,
             )
 
+    # VisualizationHook analog (reference core/hooks/visualization.py; cfg
+    # key visual_config, None in the shipped PnP configs)
+    visual_fn = None
+    vcfg = cfg.get("visual_config") or None
+    if vcfg and int(vcfg.get("interval", -1) or -1) > 0:
+        import numpy as _np
+
+        from pnp_vcve_tpu.train.visualization import VisualizationHook
+
+        vhook = VisualizationHook(
+            output_dir=vcfg.get(
+                "output_dir", os.path.join(cfg.work_dir, "visual")
+            ),
+            res_name_list=list(
+                vcfg.get("res_name_list", ["lq", "gt", "output"])
+            ),
+            interval=int(vcfg["interval"]),
+            rerange=bool(vcfg.get("rerange", False)),
+            nrow=int(vcfg.get("nrow", 1)),
+            padding=int(vcfg.get("padding", 4)),
+        )
+
+        def visual_fn(step, batch, vstate):
+            if (step + 1) % vhook.interval != 0:
+                return
+            from pnp_vcve_tpu.train.train_step import _model_inputs
+
+            out = model.apply({"params": vstate.params}, **_model_inputs(batch))
+            res = {
+                "lq": _np.asarray(batch["lq"]),
+                "gt": _np.asarray(batch["gt"]),
+                "output": _np.asarray(out),
+            }
+            vhook(step, res)
+
     log_int = cfg.get("log_config", {}).get("interval", 100)
     ckpt_cfg = cfg.get("checkpoint_config", {}) or {}
     tb = TensorboardWriter(os.path.join(cfg.work_dir, "tb"))
@@ -345,6 +380,7 @@ def main():
         start_iter=start_iter,
         logger=logger.info,
         metrics_writer=tb,
+        visual_fn=visual_fn,
     )
     loader.stop()
     tb.close()
