@@ -67,13 +67,14 @@ def main():
     on_tpu = platform == "tpu"
 
     # 720p, window sized to fit one chip's HBM feature buffer.
-    # Default batch = 2 concurrent clips (throughput serving): measured
-    # 14.24 f/s/chip aggregate vs 13.86 at b=1 — better MXU utilization and
-    # amortized per-step weight streaming. b=2 fits HBM because the fused
-    # Pallas reconstruction head keeps the scan xs out of padded XLA-conv
-    # layouts (see models/pnp_vcve.py head gate). PNP_BENCH_BATCH=1 gives
-    # the single-clip latency-mode figure.
-    b = int(os.environ.get("PNP_BENCH_BATCH", "2"))
+    # PNP_BENCH_BATCH=2 (throughput serving) measures 14.24 f/s/chip
+    # aggregate vs 13.86 at b=1 — it fits HBM because the fused Pallas
+    # reconstruction head keeps the scan xs out of padded XLA-conv layouts
+    # (models/pnp_vcve.py head gate). The DEFAULT stays b=1: the b=2
+    # executable takes ~45 min to compile through the remote-compile
+    # tunnel (vs ~10 min for b=1) and there is no cross-process compile
+    # cache, so unattended runs risk timeouts.
+    b = int(os.environ.get("PNP_BENCH_BATCH", "1"))
     t, h, w = 12, 720, 1280
     if not on_tpu:  # CPU smoke fallback
         b, t, h, w = 1, 4, 128, 128
