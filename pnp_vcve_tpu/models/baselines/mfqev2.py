@@ -68,3 +68,63 @@ class MFQEv2(nn.Module):
         out = _RecBlock(self.nf, name="rec4")(jnp.concatenate(outs, axis=-1), train)
         out = nn.Conv(self.out_channels, (3, 3), padding="SAME", name="rec5")(out)
         return out + center
+
+
+def mfqe_joint_enhance(
+    pqf_apply,
+    nonpqf_apply,
+    frames,
+    slice_types,
+):
+    """The MFQE two-model test protocol (reference restorers/
+    mfqev2_restorer.py + the MFQE 2.0 paper's cascade): first enhance every
+    PQF with the PQF model (neighbors = nearest OTHER PQFs), then enhance
+    each non-PQF using the nearest ENHANCED left/right PQFs.
+
+    Args:
+      pqf_apply / nonpqf_apply: callables (lrs (1, 3, h, w, c)) -> (1, h, w, c)
+        (e.g. ``functools.partial(model.apply, {'params': params})``).
+      frames: (t, h, w, c) decoded clip in [0, 1].
+      slice_types: length-t sequence of 'I'/'P'/'B'.
+
+    Returns: (t, h, w, c) enhanced clip (numpy).
+    """
+    import numpy as np
+
+    from pnp_vcve_tpu.data.ldp import PQF_SLICES, find_left_right_pqf
+
+    t = frames.shape[0]
+    slice_of = lambda i: slice_types[i]  # noqa: E731
+    is_pqf = [slice_types[i] in PQF_SLICES for i in range(t)]
+    out = np.array(frames, np.float32, copy=True)
+
+    def triple(i, left, right, source):
+        stack = np.stack([source[left], source[i], source[right]])[None]
+        return np.asarray(out_apply(stack)[0])
+
+    # pass 1: PQFs from the DECODED frames (PQF neighbors also decoded)
+    out_apply = pqf_apply
+    enhanced_pqf = {}
+    for i in range(t):
+        if not is_pqf[i]:
+            continue
+        left = i - 1
+        while left >= 0 and not is_pqf[left]:
+            left -= 1
+        right = i + 1
+        while right < t and not is_pqf[right]:
+            right += 1
+        left = i if left < 0 else left
+        right = i if right >= t else right
+        enhanced_pqf[i] = triple(i, left, right, frames)
+    for i, v in enhanced_pqf.items():
+        out[i] = v
+
+    # pass 2: non-PQFs referencing the ENHANCED PQFs
+    out_apply = nonpqf_apply
+    for i in range(t):
+        if is_pqf[i]:
+            continue
+        left, right = find_left_right_pqf(slice_of, i, t, compressed=True)
+        out[i] = triple(i, left, right, out)
+    return out

@@ -461,3 +461,31 @@ def test_iconvsr_refill(rng):
     params2 = {"params": flax.traverse_util.unflatten_dict(zeroed)}
     out2 = model.apply(params2, lrs)
     assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-7
+
+
+def test_mfqe_joint_enhance_protocol():
+    """Two-model cascade: PQFs enhanced first (from decoded frames), then
+    non-PQFs from the ENHANCED PQFs (order observable via marker models)."""
+    import numpy as np
+
+    from pnp_vcve_tpu.models.baselines.mfqev2 import mfqe_joint_enhance
+
+    t, h, w, c = 5, 4, 4, 3
+    frames = np.zeros((t, h, w, c), np.float32)
+    for i in range(t):
+        frames[i] = i / 10.0
+    slices = ["I", "B", "P", "B", "P"]
+
+    def pqf_apply(stack):     # marker: +100 on the center
+        return stack[:, 1] + 100.0
+
+    def nonpqf_apply(stack):  # passes through the LEFT reference
+        return stack[:, 0]
+
+    out = mfqe_joint_enhance(pqf_apply, nonpqf_apply, frames, slices)
+    # PQFs (I/P at 0,2,4) got +100
+    np.testing.assert_allclose(out[0], frames[0] + 100.0)
+    np.testing.assert_allclose(out[2], frames[2] + 100.0)
+    # non-PQF 1's left PQF is frame 0 — and it must see the ENHANCED one
+    np.testing.assert_allclose(out[1], frames[0] + 100.0)
+    np.testing.assert_allclose(out[3], frames[2] + 100.0)
