@@ -98,6 +98,29 @@ def main():
     inputs = make_inputs(b, t, h, w, dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), **inputs)
 
+    # Mosaic-compile smoke (runs BEFORE the timed loop): the fused Pallas
+    # path at flagship channel widths on a tiny spatial shape must match
+    # the XLA composition on the real TPU — kernel tests run in interpret
+    # mode (tests/test_kernels.py), so Mosaic lowering regressions would
+    # otherwise surface only as silent numerics here.
+    smoke_err = None
+    if on_tpu and use_pallas:
+        s_in = make_inputs(1, 2, 32, 32, dtype=jnp.float32)
+        kw = dict(remat=False, feature_dtype=jnp.float32, warp_impl=warp_impl)
+        ref_m = PnPVCVE(**kw, use_pallas_kernels=False)
+        pal_m = PnPVCVE(**kw, use_pallas_kernels=True)
+        s_params = ref_m.init(jax.random.PRNGKey(1), **s_in)
+        want = np.asarray(jax.jit(ref_m.apply)(s_params, **s_in), np.float32)
+        got = np.asarray(jax.jit(pal_m.apply)(s_params, **s_in), np.float32)
+        smoke_err = float(np.abs(got - want).max())
+        if not smoke_err < 3e-3:
+            print(json.dumps({
+                "metric": "720p_frames_per_sec_per_chip", "value": 0.0,
+                "unit": "frames/s", "vs_baseline": 0.0,
+                "error": f"pallas smoke failed: max|diff|={smoke_err}",
+            }))
+            return
+
     # Timing methodology: K forwards chained on their own outputs inside ONE
     # jit, a single scalar read back at the end. Per-call wall probes through
     # the device tunnel proved untrustworthy (block_until_ready returned
@@ -119,16 +142,15 @@ def main():
     dt = (time.perf_counter() - t0) / n_iters
 
     frames_per_sec = b * t / dt
-    print(
-        json.dumps(
-            {
-                "metric": "720p_frames_per_sec_per_chip",
-                "value": round(frames_per_sec, 3),
-                "unit": "frames/s",
-                "vs_baseline": round(frames_per_sec / A100_REFERENCE_FPS, 3),
-            }
-        )
-    )
+    record = {
+        "metric": "720p_frames_per_sec_per_chip",
+        "value": round(frames_per_sec, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_sec / A100_REFERENCE_FPS, 3),
+    }
+    if smoke_err is not None:
+        record["pallas_smoke_max_abs_err"] = round(smoke_err, 6)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -786,6 +786,112 @@ def _build_big_train(
     return WeightedMixture(sources, weights)
 
 
+def _vimeo_keys(ann_file: str) -> list[str]:
+    """Annotation lines '00001/0266 (256,448,3)' -> keys (reference
+    sr_vimeo90k_multiple_gt_compress_dataset.py:66-67)."""
+    with open(ann_file) as fin:
+        return [line.strip().split(" ")[0] for line in fin if line.strip()]
+
+
+@DATASETS.register(name="SRVimeo90KMultipleGTMixCompressDataset")
+def _build_vimeo_mix(
+    cprs_all_folder,
+    lq_folder,
+    gt_folder,
+    ann_file,
+    pipeline=None,
+    scale=1,
+    num_input_frames=7,
+    test_mode=False,
+    _bd_prefix="",
+    **kwargs,
+):
+    """Vimeo-90k mixture train source (reference
+    sr_vimeo90k_multiple_gt_compress_dataset.py:92-181): lq under
+    ``lq_folder/png``, compressed variants under
+    ``cprs_all_folder/{prefix}crf{15,25,35}/png``."""
+    import os
+
+    from pnp_vcve_tpu.data.extra_datasets import VimeoMixDataset
+
+    p = _pipeline_params(pipeline)
+    return VimeoMixDataset(
+        lq_folder=os.path.join(lq_folder, "png"),
+        gt_folder=gt_folder,
+        cprs15_folder=os.path.join(cprs_all_folder, f"{_bd_prefix}crf15", "png"),
+        cprs25_folder=os.path.join(cprs_all_folder, f"{_bd_prefix}crf25", "png"),
+        cprs35_folder=os.path.join(cprs_all_folder, f"{_bd_prefix}crf35", "png"),
+        qp_slice_file=p["qp_slice_file"],
+        clips=_vimeo_keys(ann_file),
+        num_input_frames=num_input_frames,
+        scale=scale,
+        gt_patch_size=p["gt_patch_size"],
+        data_ratio=p["data_ratio"],
+        replace_qp_with_ipb=p["replace_qp_with_ipb"],
+    )
+
+
+@DATASETS.register(name="SRVimeo90KMultipleGTMixCompressDataset_BD")
+def _build_vimeo_mix_bd(**kwargs):
+    """BD (blur-downsampled) variant: compressed folders are
+    ``BD_crf{15,25,35}/png`` (reference
+    sr_vimeo90k_multiple_gt_compress_dataset.py:183-225)."""
+    return _build_vimeo_mix(_bd_prefix="BD_", **kwargs)
+
+
+@DATASETS.register(name="SRVimeo90KMultipleGTCompressDataset")
+def _build_vimeo_test(
+    cprs_folder,
+    gt_folder,
+    ann_file,
+    lq_folder=None,
+    pipeline=None,
+    scale=1,
+    num_input_frames=7,
+    test_mode=True,
+    **kwargs,
+):
+    """Vimeo-90k whole-clip test source (reference
+    sr_vimeo90k_multiple_gt_compress_dataset.py:10-89)."""
+    from pnp_vcve_tpu.data.extra_datasets import VimeoTestDataset
+
+    p = _pipeline_params(pipeline)
+    return VimeoTestDataset(
+        cprs_folder=cprs_folder,
+        gt_folder=gt_folder,
+        qp_slice_file=p["qp_slice_file"],
+        clips=_vimeo_keys(ann_file),
+        num_input_frames=num_input_frames,
+        scale=scale,
+        replace_qp_with_ipb=p["replace_qp_with_ipb"],
+    )
+
+
+@DATASETS.register(
+    name="KITTIMultipleGTMixCompressDataset",
+    aliases=("WMGANDataset_test_kitti",),
+)
+def _build_kitti_pairs(
+    lq_folder,
+    gt_folder,
+    pipeline=None,
+    scale=1,
+    test_mode=True,
+    **kwargs,
+):
+    """KITTI fixed (10, 11) frame-pair protocol (reference
+    sr_kitti_multiple_gt_compress_dataset.py:6-150,
+    augmentation.py:1549-1604)."""
+    from pnp_vcve_tpu.data.extra_datasets import KittiPairDataset
+
+    p = _pipeline_params(pipeline)
+    return KittiPairDataset(
+        lq_folder=lq_folder,
+        gt_folder=gt_folder,
+        qp_slice_file=p["qp_slice_file"],
+    )
+
+
 @DATASETS.register(name="SRREDSMultipleGTCompressDataset")
 def _build_reds_test(
     lq_folder,

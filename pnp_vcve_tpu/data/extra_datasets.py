@@ -32,7 +32,13 @@ from .pipeline import (
 )
 from .qp_slice import QpSliceLookup
 
-__all__ = ["KittiPairDataset", "VimeoMixDataset", "GenerationPairedDataset", "GenerationUnpairedDataset"]
+__all__ = [
+    "KittiPairDataset",
+    "VimeoMixDataset",
+    "VimeoTestDataset",
+    "GenerationPairedDataset",
+    "GenerationUnpairedDataset",
+]
 
 
 @dataclass
@@ -178,6 +184,85 @@ class VimeoMixDataset:
         flip(sample, "vertical", rng)
         random_transpose_hw(sample, rng)
         return sample
+
+
+@dataclass
+class VimeoTestDataset:
+    """Vimeo-90k septuplet whole-clip test source (reference
+    ``SRVimeo90KMultipleGTCompressDataset``,
+    sr_vimeo90k_multiple_gt_compress_dataset.py:10-89): one fixed
+    compressed folder, ``base_qp`` parsed from its path, keys read from
+    the annotation list (``00001/0266 ...`` lines)."""
+
+    cprs_folder: str
+    gt_folder: str
+    qp_slice_file: Optional[str]
+    clips: List[str]  # '<clip>/<subclip>' entries
+    num_input_frames: int = 7
+    scale: int = 1
+    replace_qp_with_ipb: bool = False
+
+    def __post_init__(self):
+        import re
+
+        self._lut = QpSliceLookup(self.qp_slice_file, self.replace_qp_with_ipb)
+        m = re.search(r"crf(\d+)", self.cprs_folder)
+        self.base_qp = int(m.group(1)) if m else 0
+
+    def __len__(self):
+        return len(self.clips)
+
+    def load_clip(self, idx: int) -> Sample:
+        key = self.clips[idx]
+        clip, subclip = key.split("/")
+        lq_frames, gt_frames, qps, slice_types, records = [], [], [], [], []
+        for i in range(1, self.num_input_frames + 1):
+            lq_frames.append(
+                _load_png(os.path.join(self.cprs_folder, clip, subclip, f"im{i}.png"))
+            )
+            gt_frames.append(
+                _load_png(os.path.join(self.gt_folder, clip, subclip, f"im{i}.png"))
+            )
+            if self.base_qp == 0:
+                st = "I" if i == 1 else "P"
+                qp = float(ord(st)) if self.replace_qp_with_ipb else 0.0
+            else:
+                entry = self._lut._dict[f"crf{self.base_qp}"][clip][subclip][str(i - 1)]
+                st = entry["slice"]
+                qp = (
+                    float(ord(st))
+                    if self.replace_qp_with_ipb
+                    else float(entry["QP"])
+                )
+            qps.append(qp)
+            slice_types.append(st)
+            mv_path = os.path.join(
+                self.cprs_folder.replace("png", "mv"), clip, subclip,
+                f"{i - 1:08d}.npy",
+            )
+            records.append(
+                np.load(mv_path) if os.path.exists(mv_path)
+                else np.zeros((0, 10), np.float32)
+            )
+
+        h, w = lq_frames[0].shape[:2]
+        mvs, partitions = rasterize_clip(records, slice_types, h, w)
+        sample: Sample = {
+            "lq": np.stack(lq_frames).astype(np.float32),
+            "gt": np.stack(gt_frames).astype(np.float32),
+            "mvs": mvs,
+            "partitions": partitions,
+            "qps": np.asarray(qps, np.float32),
+            "slices": np.asarray([ord(s) for s in slice_types], np.float32),
+            "base_qps": np.full(self.num_input_frames, float(self.base_qp), np.float32),
+            "clip_name": key.replace("/", "_"),
+        }
+        rescale_to_zero_one(sample)
+        return sample
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self.load_clip(i)
 
 
 @dataclass

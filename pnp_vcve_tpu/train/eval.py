@@ -131,6 +131,58 @@ def evaluate_dataset(
     return agg
 
 
+def evaluate_dataset_mfqe_joint(
+    pqf_model,
+    pqf_variables,
+    nonpqf_model,
+    nonpqf_variables,
+    dataset: Iterable[dict],
+    restorer: Restorer,
+    save_path: Optional[str] = None,
+    save_image: bool = False,
+    verbose: bool = True,
+) -> Dict[str, float]:
+    """The MFQE two-model joint test protocol over a clip dataset
+    (reference mmedit/models/restorers/mfqev2_restorer.py:14- + the MFQE
+    2.0 cascade): enhance PQFs first with the PQF checkpoint, then each
+    non-PQF referencing the ENHANCED neighboring PQFs, per clip; metrics
+    as in the standard eval path.
+
+    ``*_variables`` are FULL variable dicts (params + batch_stats — the
+    MFQE nets carry BatchNorm running stats)."""
+    from pnp_vcve_tpu.models.baselines.mfqev2 import mfqe_joint_enhance
+
+    pqf_apply = jax.jit(lambda lrs: pqf_model.apply(pqf_variables, lrs))
+    nonpqf_apply = jax.jit(lambda lrs: nonpqf_model.apply(nonpqf_variables, lrs))
+    per_clip = []
+    for sample in dataset:
+        t0 = time.perf_counter()
+        frames = np.asarray(sample["lq"], np.float32)
+        letters = [chr(int(round(float(c)))) for c in np.asarray(sample["slices"])]
+        out = mfqe_joint_enhance(pqf_apply, nonpqf_apply, frames, letters)
+        dt = time.perf_counter() - t0
+        clip_name = sample.get("clip_name", f"clip{len(per_clip):03d}")
+        metrics = restorer.evaluate_clip(out, sample["gt"])
+        per_clip.append(metrics)
+        if verbose:
+            msg = " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+            print(
+                f"[mfqe-joint] {clip_name}: {msg} "
+                f"({out.shape[0]} frames, {dt:.2f}s)"
+            )
+        if save_image and save_path:
+            _save_frames(
+                np.stack([tensor2img(f) for f in out]), clip_name, save_path
+            )
+    agg = average_clip_metrics(per_clip)
+    if verbose and agg:
+        print(
+            "[mfqe-joint] dataset mean: "
+            + " ".join(f"{k}={v:.4f}" for k, v in agg.items())
+        )
+    return agg
+
+
 def enhance_clip_frame_parallel(
     eval_step,
     params,

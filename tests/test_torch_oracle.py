@@ -1,0 +1,102 @@
+"""TRUE torch-oracle parity: run the reference's actual model code
+(mmedit/models/backbones/sr_backbones/iconvsr_ipb_par.py:17-149 via the
+tests/oracle mmcv shim) with random weights, convert the genuine
+``state_dict()`` through our converters, and assert output equality.
+
+This is the proof BASELINE.md's primary target rests on: if any
+layout/name mapping in core/convert.py is wrong, these tests fail — no
+released .pth needed.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from pnp_vcve_tpu.core.convert import convert_generator_state_dict
+from pnp_vcve_tpu.models import PnPVCVE
+
+from tests.oracle.loader import load_ref
+
+B, T, H, W = 2, 5, 64, 64
+C, NB, K = 64, 2, 3  # conv_hr is hard-coded 64ch in the reference (iconvsr.py:365)
+
+
+def _ref_generator(vsr=False, align_key=True, seed=0):
+    mod = load_ref("mmedit.models.backbones.sr_backbones.iconvsr_ipb_par")
+    torch.manual_seed(seed)
+    gen = mod.IconVSR_restore_wo_refill_mv_ipb_fast_domain_dynamic_with_par(
+        mid_channels=C, num_blocks=NB, num_experts=K, padding=3,
+        with_cat=True, use_base_qp=True, expert_softmax=True,
+        init_weight=True, with_bias=True, with_se=True, with_par=True,
+        one_layer=True, blocktype="drt", channel_first=True,
+        sparse_val=False, align_key=align_key, vsr=vsr,
+    )
+    gen.eval()
+    return gen
+
+
+def _inputs(seed=1):
+    g = torch.Generator().manual_seed(seed)
+    lrs = torch.rand(B, T, 3, H, W, generator=g)
+    qps = torch.rand(B, T, 1, 1, 1, generator=g)
+    # mixed I/P/B patterns, different per batch item: exercises per-sample
+    # keyframe routing and both align_key branches (key==neighbor and not)
+    slices = torch.tensor(
+        [[73.0, 66.0, 80.0, 66.0, 80.0], [73.0, 80.0, 66.0, 66.0, 73.0]]
+    ).view(B, T, 1, 1, 1)
+    mvs = torch.randn(B, T, 4, H, W, generator=g) * 3.0
+    base_qps = torch.rand(B, T, 1, 1, 1, generator=g)
+    par = torch.rand(B, T, 3, H, W, generator=g)
+    return lrs, qps, slices, mvs, base_qps, par
+
+
+def _to_ours(lrs, qps, slices, mvs, base_qps, par):
+    nhwc = lambda x: jnp.asarray(np.moveaxis(x.numpy(), 2, -1))
+    flat = lambda x: jnp.asarray(x.numpy()[:, :, 0, 0, 0])
+    return dict(
+        lrs=nhwc(lrs), qps=flat(qps), slices=flat(slices), mvs=nhwc(mvs),
+        base_qps=flat(base_qps), par_map=nhwc(par),
+    )
+
+
+def _convert(gen, vsr=False):
+    sd = {k: v.detach().numpy() for k, v in gen.state_dict().items()}
+    return convert_generator_state_dict(sd, num_blocks=NB, vsr=vsr)
+
+
+@pytest.mark.parametrize("align_key", [True, False])
+def test_flagship_matches_reference_code(align_key):
+    gen = _ref_generator(align_key=align_key)
+    inputs = _inputs()
+    with torch.no_grad():
+        expected = gen(*inputs).numpy()  # (b, t, 3, h, w)
+
+    params = _convert(gen)
+    model = PnPVCVE(
+        mid_channels=C, num_blocks=NB, num_experts=K, align_key=align_key,
+        remat=False,
+    )
+    ours = np.asarray(model.apply({"params": params}, **_to_ours(*inputs)))
+    ours = np.moveaxis(ours, -1, 2)  # NHWC -> NCHW
+
+    np.testing.assert_allclose(ours, expected, atol=2e-4, rtol=1e-4)
+
+
+def test_flagship_vsr_matches_reference_code():
+    gen = _ref_generator(vsr=True)
+    inputs = _inputs(seed=2)
+    with torch.no_grad():
+        expected = gen(*inputs).numpy()  # (b, t, 3, 4h, 4w)
+
+    params = _convert(gen, vsr=True)
+    model = PnPVCVE(
+        mid_channels=C, num_blocks=NB, num_experts=K, vsr=True, remat=False
+    )
+    ours = np.asarray(model.apply({"params": params}, **_to_ours(*inputs)))
+    ours = np.moveaxis(ours, -1, 2)
+
+    np.testing.assert_allclose(ours, expected, atol=5e-4, rtol=1e-4)

@@ -28,6 +28,12 @@ def parse_args():
     p.add_argument("--cfg-options", nargs="+", default=[])
     # cascade mode (reference tools/test.py:121-134): enhance, then feed the
     # enhanced frames to a second (VSR) model
+    p.add_argument(
+        "--joint-pqf-config", default=None,
+        help="PQF model config: run the MFQE two-model joint protocol "
+        "(PQFs enhanced first, non-PQFs reference the enhanced PQFs)",
+    )
+    p.add_argument("--joint-pqf-ckpt", default=None, help="PQF model checkpoint")
     p.add_argument("--cascade", action="store_true")
     p.add_argument("--cascade_config", default=None, help="config of the downstream VSR model")
     p.add_argument("--cascade_ckpt", default=None)
@@ -72,9 +78,47 @@ def main():
         base_qps=jnp.zeros((1, t)),
         par_map=jnp.zeros((1, t, 64, 64, 3)),
     )
-    params = restorer.generator.init(jax.random.PRNGKey(0), **dummy)["params"]
+    variables = dict(restorer.generator.init(jax.random.PRNGKey(0), **dummy))
+    params = variables["params"]
     if args.checkpoint != "-":
         params = load_params(args.checkpoint, template=jax.device_get(params))
+
+    if args.joint_pqf_config:
+        # MFQE two-model joint protocol (reference mfqev2_restorer.py:14-):
+        # the main config/checkpoint is the NON-PQF model, --joint-pqf-*
+        # the PQF model; PQFs are enhanced first from the decoded frames,
+        # then non-PQFs reference the enhanced PQFs.
+        from pnp_vcve_tpu.train.eval import evaluate_dataset_mfqe_joint
+
+        pqf_cfg = Config.fromfile(args.joint_pqf_config)
+        pqf_restorer = build_restorer(pqf_cfg.model, pqf_cfg.get("test_cfg"))
+        pqf_vars = dict(
+            pqf_restorer.generator.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 3, 64, 64, 3))
+            )
+        )
+        if args.joint_pqf_ckpt and args.joint_pqf_ckpt != "-":
+            pqf_vars["params"] = load_params(
+                args.joint_pqf_ckpt, template=jax.device_get(pqf_vars["params"])
+            )
+        metrics = evaluate_dataset_mfqe_joint(
+            pqf_restorer.generator,
+            pqf_vars,
+            restorer.generator,
+            {**variables, "params": params},
+            dataset,
+            restorer,
+            save_path=args.save_path,
+            save_image=args.save_image,
+        )
+        if metrics:
+            print(", ".join(f"{k}: {v:.4f}" for k, v in metrics.items()))
+        if args.out:
+            import pickle
+
+            with open(args.out, "wb") as f:
+                pickle.dump(metrics, f)
+        return
 
     cascade = None
     if args.cascade:

@@ -157,6 +157,110 @@ def _train_gan(cfg, generator, loader, mesh, total_iters, seed, start_iter, g_st
     print("GAN training done")
 
 
+def _train_cyclegan(cfg, total_iters, seed, start_iter=0, logger=print):
+    """CycleGAN end-to-end training from the CLI (reference
+    mmedit/models/synthesizers/cycle_gan.py:18-199): two direction
+    generators + two domain discriminators on an unpaired dataset.
+
+    Dispatched on ``cfg.model.type == 'CycleGAN'`` BEFORE the restorer
+    path touches ``restorer.generator`` (which a CycleGAN container does
+    not have)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pnp_vcve_tpu.core.builder import (
+        build_dataset,
+        build_optimizer,
+        build_restorer,
+    )
+    from pnp_vcve_tpu.core.checkpoint import CheckpointManager
+    from pnp_vcve_tpu.train import create_train_state
+    from pnp_vcve_tpu.train.gan import make_cyclegan_train_step
+
+    container = build_restorer(cfg.model, cfg.get("test_cfg"))
+    ds = build_dataset(dict(cfg.data["train"]))
+    bsz = cfg.data.get("train_dataloader", {}).get("samples_per_gpu", 1)
+    rng = np.random.default_rng(seed)
+
+    def next_batch():
+        samples = [ds.sample(rng) for _ in range(bsz)]
+        return {
+            "img_a": jnp.asarray(np.stack([s["img_a"] for s in samples])),
+            "img_b": jnp.asarray(np.stack([s["img_b"] for s in samples])),
+        }
+
+    first = next_batch()
+    key = jax.random.PRNGKey(seed)
+    ka, kb, kda, kdb = jax.random.split(key, 4)
+    pa = container.generator_a.init(ka, first["img_a"])["params"]
+    pb = container.generator_b.init(kb, first["img_b"])["params"]
+    da_p = container.disc_a.init(kda, first["img_a"])["params"]
+    db_p = container.disc_b.init(kdb, first["img_b"])["params"]
+
+    opt_cfgs = dict(cfg.get("optimizers", {}) or {})
+    g_opt = opt_cfgs.get(
+        "generators", opt_cfgs.get("generator", {"type": "Adam", "lr": 2e-4})
+    )
+    d_opt = opt_cfgs.get("discriminators", opt_cfgs.get("discriminator", g_opt))
+
+    def mk_state(params, ocfg):
+        tx = build_optimizer(
+            {"generator": dict(ocfg)}, cfg.get("lr_config"), total_iters
+        )
+        return create_train_state(params, tx)
+
+    ga, gb = mk_state(pa, g_opt), mk_state(pb, g_opt)
+    da, db = mk_state(da_p, d_opt), mk_state(db_p, d_opt)
+
+    step_fn = make_cyclegan_train_step(
+        container.generator_a,
+        container.generator_b,
+        container.disc_a,
+        container.disc_b,
+        gan_type=container.gan_type,
+        cycle_weight=container.cycle_weight,
+        id_weight=container.id_weight,
+        donate=False,
+    )
+
+    ckpt = CheckpointManager(cfg.work_dir)
+    log_int = cfg.get("log_config", {}).get("interval", 100)
+    ckpt_int = (cfg.get("checkpoint_config", {}) or {}).get("interval", 2000)
+    t_last = time.perf_counter()
+    batch = first
+    for it in range(start_iter, total_iters):
+        ga, gb, da, db, metrics = step_fn(ga, gb, da, db, batch)
+        if (it + 1) % log_int == 0 or it + 1 == total_iters:
+            dt = time.perf_counter() - t_last
+            t_last = time.perf_counter()
+            logger(
+                f"[cyclegan] iter {it + 1}/{total_iters} "
+                + " ".join(
+                    f"{k}={float(jax.device_get(v)):.5f}"
+                    for k, v in metrics.items()
+                )
+                + f" ({log_int / max(dt, 1e-9):.2f} it/s)"
+            )
+        if (ckpt_int and (it + 1) % ckpt_int == 0) or it + 1 == total_iters:
+            ckpt.save(
+                it + 1,
+                {
+                    "generator_a": ga.params,
+                    "generator_b": gb.params,
+                    "disc_a": da.params,
+                    "disc_b": db.params,
+                },
+                wait=it + 1 == total_iters,
+            )
+        if it + 1 < total_iters:
+            batch = next_batch()
+    ckpt.close()
+    logger("[cyclegan] training done")
+
+
 def main():
     args = parse_args()
     if args.multihost:
@@ -200,6 +304,14 @@ def main():
 
     mesh = make_mesh(sp=cfg.get("mesh", {}).get("sp", 1))
     print(f"devices: {jax.devices()}  mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
+    # CycleGAN has no `.generator`/restorer shape — dispatch on model type
+    # before the restorer path (reference builds it via the same registry,
+    # mmedit/models/synthesizers/cycle_gan.py:18-95)
+    model_type = cfg.model.get("type") if hasattr(cfg.model, "get") else None
+    if model_type == "CycleGAN":
+        _train_cyclegan(cfg, total_iters, seed, logger=logger.info)
+        return
 
     restorer = build_restorer(cfg.model, cfg.get("test_cfg"))
     model = restorer.generator
