@@ -280,12 +280,62 @@ def _build_unet_gen(**kwargs):
     return UnetGenerator(**known)
 
 
+@BACKBONES.register(name="DeepFillEncoderDecoder", aliases=("DeepFillv1", "DeepFillv2"))
+def _build_deepfill(type=None, conv_type="conv", return_offset=False, **kwargs):
+    """Two-stage DeepFill (reference two_stage_encoder_decoder.py:13-97;
+    inpaintors/deepfillv1.py). `DeepFillv2` alias selects gated convs."""
+    from pnp_vcve_tpu.models.upstream.inpainting import DeepFillEncoderDecoder
+
+    return DeepFillEncoderDecoder(conv_type=conv_type, return_offset=return_offset)
+
+
+@BACKBONES.register(name="PConvEncoderDecoder", aliases=("PConvInpaintor",))
+def _build_pconv(num_layers=7, **kwargs):
+    """Partial-conv U-net (reference pconv_encoder_decoder.py,
+    inpaintors/pconv_inpaintor.py)."""
+    from pnp_vcve_tpu.models.upstream.inpainting import PConvEncoderDecoder
+
+    return PConvEncoderDecoder(num_layers=num_layers)
+
+
+@BACKBONES.register(name="AOTEncoderDecoder", aliases=("AOTInpaintor",))
+def _build_aot(**kwargs):
+    """AOT-GAN inpainting backbone (reference aot_encoder_decoder.py:8-30,
+    inpaintors/aot_inpaintor.py)."""
+    from pnp_vcve_tpu.models.upstream.inpainting import AOTEncoderDecoder
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "mid_channels", "neck_channels", "num_aotblock", "dilation_rates")}
+    return AOTEncoderDecoder(**known)
+
+
 @BACKBONES.register(name="GLEncoderDecoder")
 def _build_gl_inpaintor(**kwargs):
     from pnp_vcve_tpu.models.upstream import GLEncoderDecoder
 
     known = {k: v for k, v in kwargs.items() if k in ("in_channels", "mid_channels")}
     return GLEncoderDecoder(**known)
+
+
+@BACKBONES.register(name="GCAMattor", aliases=("GCA",))
+def _build_gca(**kwargs):
+    """GCA matting (reference mattors/gca.py:11-105 + ResGCAEncoder/
+    Decoder, resnet_enc.py:392-527, resnet_dec.py:294-383)."""
+    from pnp_vcve_tpu.models.upstream.matting import GCAMattor
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "in_channels", "enc_layers", "dec_layers")}
+    return GCAMattor(**known)
+
+
+@BACKBONES.register(name="IndexNetMattor", aliases=("IndexNet",))
+def _build_indexnet(**kwargs):
+    """IndexNet matting (reference mattors/indexnet.py:14-115,
+    indexnet_encoder.py:288-500, indexnet_decoder.py:13-139)."""
+    from pnp_vcve_tpu.models.upstream.matting import IndexNetMattor
+
+    known = {k: v for k, v in kwargs.items() if k in ("in_channels", "index_mode")}
+    return IndexNetMattor(**known)
 
 
 @BACKBONES.register(name="DIMMattor", aliases=("DIM",))
@@ -337,6 +387,34 @@ def _build_dic(**kwargs):
         "hg_mid_channels", "hg_num_keypoints", "num_steps", "upscale_factor",
         "detach_attention", "prelu_init", "num_heatmaps", "num_fusion_blocks")}
     return DICNet(**known)
+
+
+@BACKBONES.register(name="TOFlowVFINet")
+def _build_tof_vfi(**kwargs):
+    """TOFlow 2-frame interpolation (reference
+    vfi_backbones/tof_vfi_net.py:196-340)."""
+    from pnp_vcve_tpu.models.upstream.vfi import TOFlowVFINet
+
+    flow_cfg = kwargs.get("flow_cfg") or {}
+    use_bn = bool(flow_cfg.get("norm_cfg"))
+    return TOFlowVFINet(use_bn=use_bn)
+
+
+@BACKBONES.register(name="FLAVRNet", aliases=("FLAVR",))
+def _build_flavr(**kwargs):
+    """FLAVR flow-free VFI (reference vfi_backbones/flavr_net.py:12-572)."""
+    from pnp_vcve_tpu.models.upstream.vfi import FLAVRNet
+
+    known = {}
+    if "num_input_frames" in kwargs:
+        known["num_input_frames"] = kwargs["num_input_frames"]
+    if "num_output_frames" in kwargs:
+        known["num_output_frames"] = kwargs["num_output_frames"]
+    if "mid_channels_list" in kwargs:
+        known["mid_channels"] = tuple(kwargs["mid_channels_list"])
+    if "encoder_layers_list" in kwargs:
+        known["layers"] = tuple(kwargs["encoder_layers_list"])
+    return FLAVRNet(**known)
 
 
 @BACKBONES.register(name="CAINNet", aliases=("CAIN",))
@@ -392,6 +470,58 @@ def _build_stylegan2_disc(**kwargs):
     known = {k: v for k, v in kwargs.items() if k in (
         "in_size", "channel_multiplier", "max_channels")}
     return StyleGAN2Discriminator(**known)
+
+
+@COMPONENTS.register(name="LightCNN")
+def _build_lightcnn(**kwargs):
+    from pnp_vcve_tpu.models.upstream.discriminators import LightCNN
+
+    known = {k: v for k, v in kwargs.items() if k in ("in_channels",)}
+    return LightCNN(**known)
+
+
+@COMPONENTS.register(name="MultiLayerDiscriminator")
+def _build_multilayer_disc(**kwargs):
+    from pnp_vcve_tpu.models.upstream.discriminators import MultiLayerDiscriminator
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "in_channels", "max_channels", "num_convs", "fc_in_channels",
+        "fc_out_channels", "kernel_size", "with_input_norm",
+        "with_out_convs", "with_spectral_norm", "norm", "act", "out_act")}
+    return MultiLayerDiscriminator(**known)
+
+
+@COMPONENTS.register(name="DeepFillv1Discriminators")
+def _build_deepfill_disc(**kwargs):
+    from pnp_vcve_tpu.models.upstream.discriminators import DeepFillv1Discriminators
+
+    known = {k: v for k, v in kwargs.items() if k in ("fc_in_global", "fc_in_local")}
+    return DeepFillv1Discriminators(**known)
+
+
+@COMPONENTS.register(name="SoftMaskPatchDiscriminator")
+def _build_smpatch_disc(**kwargs):
+    from pnp_vcve_tpu.models.upstream.discriminators import SoftMaskPatchDiscriminator
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "in_channels", "base_channels", "num_conv", "with_spectral_norm")}
+    return SoftMaskPatchDiscriminator(**known)
+
+
+@COMPONENTS.register(name="TTSRDiscriminator")
+def _build_ttsr_disc(**kwargs):
+    from pnp_vcve_tpu.models.upstream.discriminators import TTSRDiscriminator
+
+    known = {k: v for k, v in kwargs.items() if k in ("in_channels", "in_size")}
+    return TTSRDiscriminator(**known)
+
+
+@COMPONENTS.register(name="ModifiedVGG")
+def _build_modified_vgg(**kwargs):
+    from pnp_vcve_tpu.models.upstream.discriminators import ModifiedVGG
+
+    known = {k: v for k, v in kwargs.items() if k in ("in_channels", "mid_channels")}
+    return ModifiedVGG(**known)
 
 
 @COMPONENTS.register(name="PatchDiscriminator")
@@ -669,6 +799,46 @@ def _build_sr_lmdb(lq_folder, gt_folder, scale, pipeline=None, test_mode=False, 
     return SRLmdbDataset(
         lq_folder=lq_folder, gt_folder=gt_folder, scale=scale,
         test_mode=test_mode, gt_patch_size=_gt_patch_from_pipeline(pipeline),
+    )
+
+
+@DATASETS.register(name="AdobeComp1kDataset")
+def _build_comp1k(ann_file, data_prefix="", pipeline=None, test_mode=False, **kwargs):
+    """Composition-1k matting source (reference comp1k_dataset.py:10-85;
+    trimap/crop pipeline folded in, matting_aug.py)."""
+    from pnp_vcve_tpu.data.matting_inpainting import AdobeComp1kDataset
+
+    crop = 320
+    for stage in pipeline or []:
+        if "crop_size" in stage:
+            cs = stage["crop_size"]
+            crop = cs[0] if isinstance(cs, (list, tuple)) else cs
+    return AdobeComp1kDataset(
+        ann_file=ann_file, data_prefix=data_prefix, crop_size=crop,
+        test_mode=test_mode,
+    )
+
+
+@DATASETS.register(name="ImgInpaintingDataset")
+def _build_img_inpainting(
+    ann_file, data_prefix="", pipeline=None, test_mode=False, **kwargs
+):
+    """Inpainting image source (reference img_inpainting_dataset.py:9-40)
+    with LoadMask-style synthesized masks (pipelines/loading.py:1128-1353)."""
+    from pnp_vcve_tpu.data.matting_inpainting import ImgInpaintingDataset
+
+    crop = 256
+    mask_mode, mask_config = "irregular", None
+    for stage in pipeline or []:
+        if "crop_size" in stage:
+            cs = stage["crop_size"]
+            crop = cs[0] if isinstance(cs, (list, tuple)) else cs
+        if stage.get("type") == "LoadMask":
+            mask_mode = stage.get("mask_mode", "irregular")
+            mask_config = stage.get("mask_config")
+    return ImgInpaintingDataset(
+        ann_file=ann_file, data_prefix=data_prefix, crop_size=crop,
+        mask_mode=mask_mode, mask_config=mask_config, test_mode=test_mode,
     )
 
 

@@ -72,7 +72,7 @@ def convert_spynet(sd: Mapping[str, np.ndarray], prefix: str = "") -> Dict:
     return params
 
 
-def convert_stdf(sd: Mapping[str, np.ndarray], nb: int = 3, nb_qe: int = 8) -> Dict:
+def convert_stdf(sd: Mapping[str, np.ndarray], nb: int = 3, nb_qe: int = 6) -> Dict:
     """Reference STDFNet (stdf.py:200-262: ``stdf.*`` u-net + ``qenet.*``)."""
     sd = _strip(sd, "")
     stdf: Dict = {
@@ -93,10 +93,11 @@ def convert_stdf(sd: Mapping[str, np.ndarray], nb: int = 3, nb_qe: int = 8) -> D
         stdf[f"up_conv{i}_up"] = _cb(sd, f"stdf.up_conv{i}.2", _convT)
     qenet: Dict = {
         "in_conv": _cb(sd, "qenet.in_conv"),
-        # hid_conv Sequential alternates ReLU/Conv: convs at odd indices
+        # hid_conv Sequential alternates ReLU/Conv (stdf.py:155-161): nb
+        # convs at odd indices 1, 3, ..., 2*nb-1
         "out_conv": _cb(sd, "qenet.out_conv.1"),
     }
-    for k in range(nb_qe - 2):
+    for k in range(nb_qe):
         qenet[f"hid_conv{k}"] = _cb(sd, f"qenet.hid_conv.{2 * k + 1}")
     return {"stdf": stdf, "qenet": qenet}
 

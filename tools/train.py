@@ -261,6 +261,274 @@ def _train_cyclegan(cfg, total_iters, seed, start_iter=0, logger=print):
     logger("[cyclegan] training done")
 
 
+_INPAINTOR_TYPES = (
+    "GLInpaintor", "OneStageInpaintor", "DeepFillv1Inpaintor",
+    "DeepFillv2Inpaintor", "TwoStageInpaintor", "AOTInpaintor",
+    "PConvInpaintor",
+)
+_MATTOR_TYPES = ("DIM", "GCA", "IndexNet", "IndexNetMattor", "GCAMattor")
+
+
+def _train_inpaintor(cfg, total_iters, seed, logger=print):
+    """Inpainting end-to-end training from a reference-shaped config
+    (reference mmedit/models/inpaintors/one_stage.py:24-445 /
+    gl_inpaintor.py / two_stage.py): generator forward on masked input,
+    hole/valid L1 (+ adversarial when a disc is configured)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from pnp_vcve_tpu.core.builder import (
+        build_dataset,
+        build_discriminator,
+        build_generator,
+        build_optimizer,
+    )
+    from pnp_vcve_tpu.core.checkpoint import CheckpointManager
+    from pnp_vcve_tpu.train import create_train_state
+    from pnp_vcve_tpu.train.losses import gan_loss, masked_l1_loss
+
+    mdl = cfg.model
+    model_type = mdl.get("type")
+    gen_cfg = dict(mdl.get("encdec") or mdl.get("generator"))
+    gen = build_generator(gen_cfg)
+    gen_type = gen_cfg.get("type", "")
+    is_pconv = "PConv" in model_type or "PConv" in gen_type
+    is_deepfill = "DeepFill" in gen_type or "DeepFill" in model_type or "TwoStage" in model_type
+
+    disc_cfg = mdl.get("disc")
+    # DeepFillv1Discriminators needs (global, local) pairs; the e2e CLI
+    # path trains with the global image only, so use any single-input disc
+    disc = build_discriminator(dict(disc_cfg)) if disc_cfg else None
+
+    ds = build_dataset(dict(cfg.data["train"]))
+    bsz = cfg.data.get("train_dataloader", {}).get("samples_per_gpu", 1)
+    rng = np.random.default_rng(seed)
+
+    def next_batch():
+        samples = [ds.sample(rng) for _ in range(bsz)]
+        stack = lambda k: jnp.asarray(np.stack([s[k] for s in samples]))
+        return {"gt_img": stack("gt_img"), "mask": stack("mask"),
+                "masked_img": stack("masked_img")}
+
+    first = next_batch()
+
+    def gen_forward(params, batch):
+        mask = batch["mask"]
+        if is_pconv:
+            out, _ = gen.apply({"params": params}, batch["masked_img"], 1.0 - mask)
+            return None, out
+        if is_deepfill:
+            ones = jnp.ones_like(mask)
+            x = jnp.concatenate([batch["masked_img"], ones, mask], axis=-1)
+            s1, s2 = gen.apply({"params": params}, x)[:2]
+            return s1, s2
+        x = jnp.concatenate([batch["masked_img"], mask], axis=-1)
+        return None, gen.apply({"params": params}, x)
+
+    key = jax.random.PRNGKey(seed)
+    mask0 = first["mask"]
+    if is_pconv:
+        g_params = gen.init(key, first["masked_img"], 1.0 - mask0)["params"]
+    elif is_deepfill:
+        x0 = jnp.concatenate([first["masked_img"], jnp.ones_like(mask0), mask0], -1)
+        g_params = gen.init(key, x0)["params"]
+    else:
+        x0 = jnp.concatenate([first["masked_img"], mask0], -1)
+        g_params = gen.init(key, x0)["params"]
+    d_params = (
+        disc.init(jax.random.PRNGKey(seed + 1), first["gt_img"])["params"]
+        if disc is not None else None
+    )
+
+    opt_cfgs = dict(cfg.get("optimizers", {}) or {})
+    g_opt = opt_cfgs.get("generator", {"type": "Adam", "lr": 1e-4})
+    d_opt = opt_cfgs.get("disc", opt_cfgs.get("discriminator", g_opt))
+    mk = lambda p, oc: create_train_state(
+        p, build_optimizer({"generator": dict(oc)}, cfg.get("lr_config"), total_iters)
+    )
+    g_state = mk(g_params, g_opt)
+    d_state = mk(d_params, d_opt) if d_params is not None else None
+
+    w_hole = (mdl.get("loss_l1_hole") or {}).get("loss_weight", 1.0)
+    w_valid = (mdl.get("loss_l1_valid") or {}).get("loss_weight", 1.0)
+    gan_cfg = mdl.get("loss_gan") or {}
+    w_gan = gan_cfg.get("loss_weight", 0.001) if disc is not None else 0.0
+    gan_type = gan_cfg.get("gan_type", "vanilla")
+
+    @jax.jit
+    def train_step(g_state, d_state, batch):
+        mask, gt = batch["mask"], batch["gt_img"]
+
+        def g_loss_fn(gp):
+            s1, s2 = gen_forward(gp, batch)
+            loss = masked_l1_loss(s2, gt, mask) * w_hole
+            loss = loss + masked_l1_loss(s2, gt, 1.0 - mask) * w_valid
+            if s1 is not None:
+                loss = loss + masked_l1_loss(s1, gt, mask) * w_hole
+                loss = loss + masked_l1_loss(s1, gt, 1.0 - mask) * w_valid
+            comp = s2 * mask + gt * (1.0 - mask)
+            if d_state is not None:
+                pred = disc.apply({"params": d_state.params}, comp)
+                pred = pred[0] if isinstance(pred, tuple) else pred
+                loss = loss + gan_loss(pred, True, gan_type) * w_gan
+            return loss, comp
+
+        (g_l, comp), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            g_state.params
+        )
+        g_state = g_state.apply_gradients(g_grads)
+        metrics = {"loss_g": g_l}
+        if d_state is not None:
+            def d_loss_fn(dp):
+                pr = disc.apply({"params": dp}, gt)
+                pf = disc.apply({"params": dp}, jax.lax.stop_gradient(comp))
+                pr = pr[0] if isinstance(pr, tuple) else pr
+                pf = pf[0] if isinstance(pf, tuple) else pf
+                return 0.5 * (
+                    gan_loss(pr, True, gan_type) + gan_loss(pf, False, gan_type)
+                )
+
+            d_l, d_grads = jax.value_and_grad(d_loss_fn)(d_state.params)
+            d_state = d_state.apply_gradients(d_grads)
+            metrics["loss_d"] = d_l
+        return g_state, d_state, metrics
+
+    ckpt = CheckpointManager(cfg.work_dir)
+    log_int = cfg.get("log_config", {}).get("interval", 100)
+    ckpt_int = (cfg.get("checkpoint_config", {}) or {}).get("interval", 2000)
+    batch = first
+    t_last = time.perf_counter()
+    for it in range(total_iters):
+        g_state, d_state, metrics = train_step(g_state, d_state, batch)
+        if (it + 1) % log_int == 0 or it + 1 == total_iters:
+            dt = time.perf_counter() - t_last
+            t_last = time.perf_counter()
+            logger(
+                f"[inpaint:{model_type}] iter {it + 1}/{total_iters} "
+                + " ".join(f"{k}={float(jax.device_get(v)):.5f}"
+                           for k, v in metrics.items())
+            )
+        if (ckpt_int and (it + 1) % ckpt_int == 0) or it + 1 == total_iters:
+            payload = {"generator": g_state.params}
+            if d_state is not None:
+                payload["disc"] = d_state.params
+            ckpt.save(it + 1, payload, wait=it + 1 == total_iters)
+        if it + 1 < total_iters:
+            batch = next_batch()
+    ckpt.close()
+    logger("[inpaint] training done")
+
+
+def _train_mattor(cfg, total_iters, seed, logger=print):
+    """Matting end-to-end training (reference mattors/{dim,gca,indexnet}.py
+    forward_train): alpha L1 on the unknown region (+ composition loss
+    when configured), comp1k data source."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pnp_vcve_tpu.core.builder import (
+        build_dataset,
+        build_generator,
+        build_optimizer,
+    )
+    from pnp_vcve_tpu.core.checkpoint import CheckpointManager
+    from pnp_vcve_tpu.train import create_train_state
+    from pnp_vcve_tpu.train.losses import l1_composition_loss, masked_l1_loss
+
+    mdl = cfg.model
+    backbone = build_generator(dict(mdl["backbone"]))
+    in_ch = dict(mdl["backbone"]).get("in_channels", 4)
+    trimap_key = "trimap_onehot" if in_ch == 6 else "trimap"
+
+    ds = build_dataset(dict(cfg.data["train"]))
+    bsz = cfg.data.get("train_dataloader", {}).get("samples_per_gpu", 1)
+    rng = np.random.default_rng(seed)
+
+    def next_batch():
+        samples = [ds.sample(rng) for _ in range(bsz)]
+        stack = lambda k: jnp.asarray(np.stack([s[k] for s in samples]))
+        return {k: stack(k) for k in
+                ("merged", "alpha", "fg", "bg", "trimap", "trimap_onehot")}
+
+    first = next_batch()
+    variables = backbone.init(
+        jax.random.PRNGKey(seed), first["merged"], first[trimap_key], True
+    )
+    state = create_train_state(
+        variables["params"],
+        build_optimizer(
+            {"generator": dict(
+                (cfg.get("optimizers", {}) or {}).get(
+                    "backbone",
+                    (cfg.get("optimizers", {}) or {}).get(
+                        "generator", {"type": "Adam", "lr": 1e-4}),
+                )
+            )},
+            cfg.get("lr_config"), total_iters,
+        ),
+    )
+    extra = {k: v for k, v in variables.items() if k != "params"}
+
+    w_alpha = (mdl.get("loss_alpha") or {}).get("loss_weight", 1.0)
+    comp_cfg = mdl.get("loss_comp")
+    w_comp = (comp_cfg or {}).get("loss_weight", 0.0)
+
+    @jax.jit
+    def train_step(state, extra, batch):
+        unknown = ((batch["trimap"] > 0.1) & (batch["trimap"] < 0.9)).astype(
+            jnp.float32
+        )
+
+        def loss_fn(params):
+            out = backbone.apply(
+                {"params": params, **extra}, batch["merged"],
+                batch[trimap_key], True,
+                mutable=[k for k in extra],
+            )
+            pred, new_extra = out if isinstance(out, tuple) else (out, extra)
+            pred = jnp.clip(pred, 0.0, 1.0)
+            loss = masked_l1_loss(pred, batch["alpha"], unknown) * w_alpha
+            if w_comp:
+                loss = loss + w_comp * l1_composition_loss(
+                    pred, batch["fg"], batch["bg"], batch["merged"], unknown
+                )
+            return loss, new_extra
+
+        (loss, new_extra), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        return state.apply_gradients(grads), new_extra, {"loss_alpha": loss}
+
+    ckpt = CheckpointManager(cfg.work_dir)
+    log_int = cfg.get("log_config", {}).get("interval", 100)
+    ckpt_int = (cfg.get("checkpoint_config", {}) or {}).get("interval", 2000)
+    batch = first
+    for it in range(total_iters):
+        state, extra, metrics = train_step(state, extra, batch)
+        if (it + 1) % log_int == 0 or it + 1 == total_iters:
+            logger(
+                f"[mattor] iter {it + 1}/{total_iters} "
+                + " ".join(f"{k}={float(jax.device_get(v)):.5f}"
+                           for k, v in metrics.items())
+            )
+        if (ckpt_int and (it + 1) % ckpt_int == 0) or it + 1 == total_iters:
+            ckpt.save(
+                it + 1, {"params": state.params, **jax.device_get(extra)},
+                wait=it + 1 == total_iters,
+            )
+        if it + 1 < total_iters:
+            batch = next_batch()
+    ckpt.close()
+    logger("[mattor] training done")
+
+
 def main():
     args = parse_args()
     if args.multihost:
@@ -311,6 +579,12 @@ def main():
     model_type = cfg.model.get("type") if hasattr(cfg.model, "get") else None
     if model_type == "CycleGAN":
         _train_cyclegan(cfg, total_iters, seed, logger=logger.info)
+        return
+    if model_type in _INPAINTOR_TYPES:
+        _train_inpaintor(cfg, total_iters, seed, logger=logger.info)
+        return
+    if model_type in _MATTOR_TYPES:
+        _train_mattor(cfg, total_iters, seed, logger=logger.info)
         return
 
     restorer = build_restorer(cfg.model, cfg.get("test_cfg"))
