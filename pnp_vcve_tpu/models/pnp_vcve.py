@@ -359,7 +359,20 @@ class PnPVCVE(nn.Module):
         base_qps: jnp.ndarray,
         par_map: jnp.ndarray,
         is_mirror_extended: bool = False,
+        sweep: str = "full",
+        carry=None,
+        bwd_feats: Optional[jnp.ndarray] = None,
+        keyframe_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        """``sweep``/``carry``/``bwd_feats``/``keyframe_mask`` drive the
+        EXACT multi-chip chunked two-sweep pipeline (SURVEY §7.3.9,
+        parallel/seqpar.py): ``sweep='backward'`` runs only the backward
+        propagation from an explicit boundary ``carry`` and returns
+        ``(bwd_feats (b,t,h,w,c), carry_out)``; ``sweep='forward'``
+        consumes a chunk's ``bwd_feats`` and returns ``(ys, carry_out)``.
+        ``keyframe_mask`` overrides the first/last-frame keyframe forcing
+        (a chunk boundary is NOT a clip boundary). ``sweep='full'`` is the
+        unchanged single-device path."""
         b, t, h_in, w_in, _ = lrs.shape
         # Spatial padding to x4 (reference spatial_padding, iconvsr.py:371-394:
         # reflect-pad lrs bottom/right). The reference pads ONLY lrs — its MV
@@ -404,7 +417,10 @@ class PnPVCVE(nn.Module):
             fwd_tail = jnp.flip(flows_fwd[:, th:], axis=1)
             flows_fwd = jnp.concatenate([flows_bwd[:, :1] * 0, fwd_tail[:, : t - 1]], 1)
 
-        keyframe, _, _ = keyframe_indices(slices)
+        if keyframe_mask is not None:
+            keyframe = keyframe_mask.astype(bool)
+        else:
+            keyframe, _, _ = keyframe_indices(slices)
 
         dtype = self.feature_dtype
         lrs_c = lrs.astype(dtype)
@@ -443,7 +459,11 @@ class PnPVCVE(nn.Module):
 
         rev = slice(None, None, -1)
         zero_frame = jnp.zeros((b, h, w, c), dtype)
-        carry0 = (zero_frame, zero_frame, jnp.zeros((b,), bool))
+        carry0 = (
+            carry
+            if carry is not None
+            else (zero_frame, zero_frame, jnp.zeros((b,), bool))
+        )
 
         # per-frame flows: backward step i warps with mvs[:, i, ..., 2:4],
         # forward step i with mvs[:, i, ..., 0:2] (the reference's shifted
@@ -455,17 +475,24 @@ class PnPVCVE(nn.Module):
         pm_bwd = bwd.premix(wt[rev], gt[rev], dtype)
         pm_fwd = fwd.premix(wt, gt, dtype)
 
-        xs_bwd = (
-            tfirst(lrs_c)[rev],
-            tfirst(flows_bwd.astype(dtype))[rev],
-            tfirst(par_map.astype(dtype))[rev],
-            wt[rev],
-            gt[rev],
-            tfirst(keyframe)[rev],
-            pm_bwd,
-        )
-        _, bwd_feats = bwd(carry0, xs_bwd)
-        bwd_feats = bwd_feats[rev]  # back to time order, (t, b, h, w, c)
+        if sweep != "forward":
+            xs_bwd = (
+                tfirst(lrs_c)[rev],
+                tfirst(flows_bwd.astype(dtype))[rev],
+                tfirst(par_map.astype(dtype))[rev],
+                wt[rev],
+                gt[rev],
+                tfirst(keyframe)[rev],
+                pm_bwd,
+            )
+            carry_b, bwd_stack = bwd(carry0, xs_bwd)
+            bwd_stack = bwd_stack[rev]  # back to time order, (t, b, h, w, c)
+            if sweep == "backward":
+                return jnp.moveaxis(bwd_stack, 0, 1), carry_b
+        else:
+            if bwd_feats is None:
+                raise ValueError("sweep='forward' requires bwd_feats")
+            bwd_stack = tfirst(bwd_feats.astype(dtype))
 
         xs_fwd = (
             tfirst(lrs_c),
@@ -474,13 +501,15 @@ class PnPVCVE(nn.Module):
             wt,
             gt,
             tfirst(keyframe),
-            bwd_feats,
+            bwd_stack,
             pm_fwd,
         )
-        _, ys = fwd(carry0, xs_fwd)
+        carry_f, ys = fwd(carry0, xs_fwd)
 
         ys = jnp.moveaxis(ys, 0, 1).astype(jnp.float32)
         if pad_h or pad_w:
             s = 4 if self.vsr else 1
             ys = ys[:, :, : s * h_in, : s * w_in]
+        if sweep == "forward":
+            return ys, carry_f
         return ys

@@ -84,10 +84,16 @@ def evaluate_dataset(
     verbose: bool = True,
     cascade=None,
     distributed: bool = False,
+    frame_parallel: Optional[str] = None,
 ) -> Dict[str, float]:
     """``cascade``: optional (step_fn, params, restorer) triple — enhanced
     frames are fed plug-and-play to a downstream VSR model and the metrics
     are computed on ITS output (reference tools/test.py:121-134).
+
+    ``frame_parallel='exact'``: run each clip through the EXACT chunked
+    two-sweep pipeline over all local devices (parallel/seqpar.py) —
+    numerically identical to the single-device scan, unlike the
+    overlapped-window approximation of enhance_clip_frame_parallel.
 
     ``distributed=True``: each process evaluates its rank-strided clip
     shard and the dataset mean is the exact count-weighted cross-host
@@ -95,6 +101,15 @@ def evaluate_dataset(
     gathers, apis/test.py:129-234). Images are saved host-locally."""
     eval_step = make_eval_step(restorer.generator)
     per_clip = []
+    if frame_parallel == "exact":
+        from jax.sharding import Mesh
+
+        from pnp_vcve_tpu.parallel.seqpar import (
+            enhance_clip_exact_pipeline,
+            largest_divisor_chunks,
+        )
+
+        devices = np.array(jax.devices())
     if distributed:
         from pnp_vcve_tpu.parallel.multihost import shard_clips
 
@@ -105,7 +120,15 @@ def evaluate_dataset(
         samples = dataset
     for sample in samples:
         t0 = time.perf_counter()
-        out = enhance_clip(eval_step, params, sample, chunk_t=chunk_t)
+        if frame_parallel == "exact":
+            t_clip = sample["lq"].shape[0]
+            d = largest_divisor_chunks(t_clip, len(devices))
+            out = enhance_clip_exact_pipeline(
+                restorer.generator, params, sample,
+                Mesh(devices[:d], ("sp",)),
+            )
+        else:
+            out = enhance_clip(eval_step, params, sample, chunk_t=chunk_t)
         if cascade is not None:
             casc_step, casc_params, _ = cascade
             out = np.asarray(jax.device_get(casc_step(casc_params, out[None]))[0])

@@ -24,6 +24,11 @@ def parse_args():
     p.add_argument("--save-path", default=None, help="path to store enhanced frames")
     p.add_argument("--save-image", action="store_true", help="save enhanced frames")
     p.add_argument("--chunk-t", type=int, default=None, help="split clips into windows of N frames")
+    p.add_argument(
+        "--frame-parallel", choices=["exact"], default=None,
+        help="'exact': chunked two-sweep pipeline over all local devices "
+        "(numerically identical to the single-device scan)",
+    )
     p.add_argument("--out", default=None, help="output result pickle")
     p.add_argument("--cfg-options", nargs="+", default=[])
     # cascade mode (reference tools/test.py:121-134): enhance, then feed the
@@ -148,6 +153,7 @@ def main():
         chunk_t=args.chunk_t,
         cascade=cascade,
         distributed=args.multihost,
+        frame_parallel=args.frame_parallel,
     )
     if metrics:
         print(", ".join(f"{k}: {v:.4f}" for k, v in metrics.items()))
