@@ -51,6 +51,16 @@ def make_train_step(
 ):
     """Build the jitted train step: (TrainState, batch) -> (TrainState, metrics)."""
 
+    # block8 warp exactness is conditional on 8x8-block-constant flows
+    # (models/pnp_vcve.py warp_impl docstring). Training data is randomly
+    # CROPPED (PairedRandomCrop_mv), which misaligns the macroblock grid,
+    # so a block8-configured model would train on silently-wrong warps.
+    if getattr(model, "warp_impl", None) == "block8":
+        raise ValueError(
+            "warp_impl='block8' is a serving-only optimization (exact only "
+            "on uncropped rasterized MV maps); train with 'padgather'"
+        )
+
     def train_step(state: TrainState, batch):
         def compute_loss(params):
             out = model.apply({"params": params}, **_model_inputs(batch))

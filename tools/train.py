@@ -126,13 +126,26 @@ def _train_gan(cfg, generator, loader, mesh, total_iters, seed, start_iter, g_st
     ckpt_int = cfg.get("checkpoint_config", {}).get("interval", 2000)
     losses_g, losses_d = [], []
     t_last = time.perf_counter()
+    # dp-shard the GAN batches over the mesh like the main path (the
+    # generator/discriminator states are replicated; gradients psum)
+    from pnp_vcve_tpu.parallel.sharding import batch_sharding, replicated
+
+    g_state = jax.device_put(g_state, replicated(mesh))
+    d_state = jax.device_put(d_state, replicated(mesh))
+
+    def shard_gan_batch(b_):
+        return {
+            k: jax.device_put(v, batch_sharding(mesh, v.ndim))
+            for k, v in b_.items()
+        }
+
     batch = first
     for step in range(start_iter, total_iters):
-        gan_batch = {
+        gan_batch = shard_gan_batch({
             "lq": batch["lq"],
             "gt": batch["gt"][:, t // 2],
             "base_qps": batch["base_qps"],
-        }
+        })
         g_state, d_state, metrics = step_fn(g_state, d_state, gan_batch)
         losses_g.append(metrics["loss_g"])
         losses_d.append(metrics["loss_d"])
@@ -664,7 +677,7 @@ def main():
     disc_cfg = cfg.model.get("discriminator") if hasattr(cfg.model, "get") else None
     if disc_cfg is not None:
         _train_gan(
-            cfg, model, loader, mesh, total_iters, seed, start_iter, state
+            cfg, model, loader, mesh, total_iters, seed, start_iter, state,
         )
         loader.stop()
         ckpt.close()
