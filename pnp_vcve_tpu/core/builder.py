@@ -802,6 +802,24 @@ def _build_sr_lmdb(lq_folder, gt_folder, scale, pipeline=None, test_mode=False, 
     )
 
 
+@DATASETS.register(
+    name="VFIVimeo90KDataset", aliases=("VFIVimeo90K7FramesDataset",)
+)
+def _build_vfi_vimeo(
+    folder, ann_file, pipeline=None, input_frames=(1, 3), target_frames=(2,),
+    test_mode=False, **kwargs,
+):
+    """Vimeo-90k VFI source (reference vfi_vimeo90k_dataset.py triplets /
+    vfi_vimeo90k_7frames_dataset.py septuplets)."""
+    from pnp_vcve_tpu.data.extra_datasets import VFIVimeoDataset
+
+    return VFIVimeoDataset(
+        folder=folder, ann_file=ann_file,
+        input_frames=tuple(input_frames), target_frames=tuple(target_frames),
+        test_mode=test_mode,
+    )
+
+
 @DATASETS.register(name="AdobeComp1kDataset")
 def _build_comp1k(ann_file, data_prefix="", pipeline=None, test_mode=False, **kwargs):
     """Composition-1k matting source (reference comp1k_dataset.py:10-85;

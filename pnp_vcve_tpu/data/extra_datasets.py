@@ -38,6 +38,7 @@ __all__ = [
     "VimeoTestDataset",
     "GenerationPairedDataset",
     "GenerationUnpairedDataset",
+    "VFIVimeoDataset",
 ]
 
 
@@ -390,3 +391,51 @@ class GenerationUnpairedDataset:
                 "img_a_path": self.paths_a[i % len(self.paths_a)],
                 "img_b_path": self.paths_b[i % len(self.paths_b)],
             }
+
+
+@dataclass
+class VFIVimeoDataset:
+    """Vimeo-90k frame-interpolation source (reference
+    vfi_vimeo90k_dataset.py: triplets im1/im2/im3, inputs [im1, im3],
+    target im2; and vfi_vimeo90k_7frames_dataset.py: septuplets with
+    explicit ``input_frames``/``target_frames`` 1-based im indices)."""
+
+    folder: str
+    ann_file: str
+    input_frames: Sequence[int] = (1, 3)
+    target_frames: Sequence[int] = (2,)
+    test_mode: bool = False
+
+    def __post_init__(self):
+        with open(self.ann_file) as f:
+            self.keys = [
+                line.strip().split(" ")[0] for line in f if line.strip()
+            ]
+
+    def __len__(self):
+        return len(self.keys)
+
+    def load_item(self, idx: int) -> dict:
+        key = self.keys[idx].replace("/", os.sep)
+        load = lambda i: _load_png(  # noqa: E731
+            os.path.join(self.folder, key, f"im{i}.png")
+        ).astype(np.float32) / 255.0
+        inputs = np.stack([load(i) for i in self.input_frames])
+        targets = np.stack([load(i) for i in self.target_frames])
+        return {
+            "inputs": inputs,
+            "target": targets[0] if len(self.target_frames) == 1 else targets,
+            "key": self.keys[idx],
+        }
+
+    def sample(self, rng: np.random.Generator) -> dict:
+        item = self.load_item(int(rng.integers(0, len(self.keys))))
+        if not self.test_mode and rng.random() < 0.5:
+            item["inputs"] = item["inputs"][:, :, ::-1].copy()
+            item["target"] = item["target"][..., :, ::-1, :].copy() \
+                if item["target"].ndim == 4 else item["target"][:, ::-1].copy()
+        return item
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self.load_item(i)

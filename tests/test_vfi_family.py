@@ -46,3 +46,33 @@ def test_flavr_forward(rng):
     out = model.apply(variables, clip)
     assert out.shape == (1, 32, 32, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vfi_vimeo_dataset(tmp_path, rng):
+    from PIL import Image
+
+    from pnp_vcve_tpu.core.builder import build_dataset
+
+    d = tmp_path / "seq" / "00001" / "0266"
+    d.mkdir(parents=True)
+    for i in range(1, 8):
+        Image.fromarray(
+            rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+        ).save(d / f"im{i}.png")
+    (tmp_path / "tri.txt").write_text("00001/0266\n")
+
+    ds = build_dataset(dict(
+        type="VFIVimeo90KDataset", folder=str(tmp_path / "seq"),
+        ann_file=str(tmp_path / "tri.txt"),
+    ))
+    item = ds.load_item(0)
+    assert item["inputs"].shape == (2, 16, 24, 3)
+    assert item["target"].shape == (16, 24, 3)
+
+    ds7 = build_dataset(dict(
+        type="VFIVimeo90K7FramesDataset", folder=str(tmp_path / "seq"),
+        ann_file=str(tmp_path / "tri.txt"),
+        input_frames=[1, 3, 5, 7], target_frames=[4],
+    ))
+    item7 = ds7.sample(np.random.default_rng(0))
+    assert item7["inputs"].shape == (4, 16, 24, 3)
