@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""MEASURED same-hardware comparison: the reference's actual torch code
+vs this framework, both on CPU.
+
+The A100 denominator in bench.py is an anchored estimate (no A100 here);
+this tool produces a real measurement on identical hardware instead: the
+reference's flagship generator (run through the tests/oracle mmcv shim —
+its genuine Python-loop forward, iconvsr_ipb_par.py:44-149) against our
+jitted JAX forward, same shapes, same CPU.
+
+    python tools/bench_reference_cpu.py [--t 5] [--hw 256 448] [--iters 3]
+
+Prints one JSON line with both frame rates and the ratio. This measures
+IMPLEMENTATION efficiency (graph compilation + loop hoisting + fused
+kernels vs eager torch with per-(batch,step) Python control flow); the
+absolute numbers are CPU-bound and NOT comparable to the TPU bench.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# force true CPU for jax BEFORE import (the host pins JAX_PLATFORMS=axon)
+os.environ.setdefault("PNP_PLATFORM", "cpu")
+from pnp_vcve_tpu.utils import apply_platform_override
+apply_platform_override()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--t", type=int, default=5)
+    p.add_argument("--hw", type=int, nargs=2, default=(256, 448))
+    p.add_argument("--iters", type=int, default=3)
+    args = p.parse_args()
+
+    import numpy as np
+    import torch
+
+    from tests.oracle.loader import load_ref
+
+    torch.manual_seed(0)
+    t, (h, w) = args.t, args.hw
+    rng = np.random.default_rng(0)
+
+    mod = load_ref("mmedit.models.backbones.sr_backbones.iconvsr_ipb_par")
+    ref = mod.IconVSR_restore_wo_refill_mv_ipb_fast_domain_dynamic_with_par(
+        mid_channels=64, num_blocks=8, num_experts=6, padding=3,
+        with_cat=True, use_base_qp=True, expert_softmax=True,
+        init_weight=True, with_bias=True, with_se=True, with_par=True,
+        one_layer=True, blocktype="drt", channel_first=True,
+        sparse_val=False, align_key=True, vsr=False,
+    ).eval()
+
+    lrs = torch.rand(1, t, 3, h, w)
+    qps = torch.rand(1, t, 1, 1, 1)
+    slices = torch.tensor([73.0] + [66.0, 80.0] * ((t - 1) // 2 + 1))[:t]
+    slices = slices.view(1, t, 1, 1, 1)
+    mvs = torch.randn(1, t, 4, h, w) * 3
+    base_qps = torch.rand(1, t, 1, 1, 1)
+    par = torch.rand(1, t, 3, h, w)
+
+    with torch.no_grad():
+        ref(lrs, qps, slices, mvs, base_qps, par)  # warm
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            ref(lrs, qps, slices, mvs, base_qps, par)
+        ref_fps = args.iters * t / (time.perf_counter() - t0)
+
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_vcve_tpu.models import PnPVCVE
+
+    model = PnPVCVE(remat=False)
+    nhwc = lambda x: jnp.asarray(np.moveaxis(x.numpy(), 2, -1))  # noqa: E731
+    flat = lambda x: jnp.asarray(x.numpy()[:, :, 0, 0, 0])  # noqa: E731
+    inp = dict(
+        lrs=nhwc(lrs), qps=flat(qps), slices=flat(slices), mvs=nhwc(mvs),
+        base_qps=flat(base_qps), par_map=nhwc(par),
+    )
+    params = model.init(jax.random.PRNGKey(0), **inp)
+    fwd = jax.jit(lambda p_, i_: model.apply(p_, **i_))
+    jax.block_until_ready(fwd(params, inp))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = fwd(params, inp)
+    jax.block_until_ready(out)
+    ours_fps = args.iters * t / (time.perf_counter() - t0)
+
+    print(json.dumps({
+        "metric": "cpu_same_hardware_frames_per_sec",
+        "shape": [t, h, w],
+        "reference_torch_fps": round(ref_fps, 4),
+        "ours_jax_fps": round(ours_fps, 4),
+        "speedup_same_hardware": round(ours_fps / ref_fps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,7 +32,7 @@ def timed(model_kwargs, label, identity_warp=False, key_select_off=False):
     orig_warp = warp_mod.flow_warp
     orig_where = jnp.where
     if identity_warp:
-        m_warp = lambda x, flow, **kw: x  # noqa: E731
+        m_warp = lambda x, flow, *a, **kw: x  # noqa: E731
         warp_mod.flow_warp = m_warp
         m.flow_warp = m_warp
     try:
