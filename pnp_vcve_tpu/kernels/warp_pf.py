@@ -1,0 +1,327 @@
+"""Banded PF-native block8 warp: the MV warp as MXU selection-matrix
+matmuls — no gather anywhere.
+
+Replaces the XLA block8 gather (ops/warp.py:_warp_single_block8, measured
+22.3 ms/frame of warp+fallout at 720p: XLA lowers the 14400-slice window
+gather to a serial slice loop at ~2 us/slice) for flows constant over the
+8x8 macroblock grid (the MV rasterizer's output) with |MV| <= 16 px (the
+H.264 search range; reference flow_warp semantics
+mmedit/models/common/flow_warp.py:6-50).
+
+Design (one 8-row output band at a time, 48-row source band):
+
+* The carry stays in the stack's pixel-pair-packed PF layout
+  (b, h+16, w/2+16, 128): lanes = [even-px c | odd-px c].  The band DMA
+  reads 48 contiguous PF rows — sequential, full-bandwidth (and Mosaic's
+  async-copy requires the 128-lane minor: 64-lane DMAs crash the
+  compile-helper, tools/warp_bisect.py).
+
+* H pass = TWO MXU dots per (row, 128-pair tile).  For a per-block
+  integer shift d = 2*delta + odd and fraction wx, the packed bilinear
+  select splits by construction into
+      out = S_same @ Z + S_x @ Zmix
+  where (derived per-plane; E2E==O2O and E2O[k,m]==O2E[k,m-1]):
+      S_same[k, .] = even d: wx0 @ (k+delta)   | odd d: wx1 @ (k+delta+1)
+      S_x[k, .]    = even d: wx1 @ (k+delta)   | odd d: wx0 @ (k+delta)
+      Zmix[m]      = lanes<64: (Z @ P)[m]  (= odd plane of pair m)
+                     lanes>=64: (Z @ P)[m+1] (= even plane of pair m+1)
+  with P the 128x128 half-lane-swap permutation (one extra dot per band
+  row; Mosaic has no lane-offset concat, kernels/drt_stack.py:_cross_pair).
+  S matrices are built OUTSIDE the kernel from the block flows (one-hot
+  selects, ~35 MB streamed per 720p frame) so the kernel sees only static
+  shapes and static window slices — the dynamic shift lives in S's values.
+
+* V pass = dense masked select over the 48 band rows: out[i] =
+  sum_d vm[:, d] * hband[d + i]; vm has 2 nonzero lanes per column
+  (floor(dy)+20 and +1).  Because out-of-image band rows/cols are
+  structurally ZERO (band zero-fill + the PF pad ring), grid_sample's
+  zeros padding needs no validity masks at all: invalid taps multiply 0.
+
+Exactness contract: bit-identical semantics to ops.flow_warp
+(impl='block8') for block-constant flows with |MV| <= 16 (builder clamps
+beyond — callers keep the XLA block8 path for larger motion).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["build_warp_tables", "warp_pf", "flow_warp_pf", "warp_pf_geometry"]
+
+BAND = 48      # source rows per 8-row out band: 8 + 2*20 (|dy|<=16 + taps)
+PAD_Y = 20     # band starts 20 orig rows above the out band
+DV = 40        # dense V terms: d = floor(dy) + 20 in [4, 36] (+1 tap)
+BOFF = 24      # band col of interior pair j = j + BOFF (8 PF pad + 16 off)
+MAX_MV = 16.0
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def warp_pf_geometry(h: int, w: int, tile: int):
+    """(wh, nt, kw, kwp, wb, hp, wp) for the banded PF warp."""
+    if h % 8 or w % 16:
+        raise ValueError(f"need h%8==0 and w%16==0, got {h}x{w}")
+    wh = w // 2
+    if wh % tile:
+        raise ValueError(f"tile {tile} must divide wh {wh}")
+    nt = wh // tile
+    kw = tile + 40           # window cols: m in [16, tile+32] (+1 odd tap)
+    kwp = _round_up(kw, 128)  # stored lane-padded for clean streaming
+    wb = wh + 48             # band width: PF row at [16, wh+48-16), zeros out
+    hp = h + 16              # PF rows (asserted against the input)
+    wp = wh + 16             # PF cols
+    return wh, nt, kw, kwp, wb, hp, wp
+
+
+def build_warp_tables(flow: jnp.ndarray, h: int, w: int, tile: int = 128):
+    """Selection tables from full-res block-constant flows.
+
+    Args:
+      flow: (b, h, w, 2) pixel-space (dx, dy), constant per 8x8 block
+        (sampled at block top-left, as ops/warp.py block8 does).
+    Returns:
+      (s_same, s_x, vm): (b, nby, nt, tile, kwp) x2 and (b, nby, wh, 128)
+      float32 one-hot-weighted selection tables.
+    """
+    b = flow.shape[0]
+    wh, nt, kw, kwp, _, _, _ = warp_pf_geometry(h, w, tile)
+    nby = h // 8
+
+    fb = flow[:, ::8, ::8].astype(jnp.float32)  # (b, nby, nbx, 2)
+    fx = jnp.clip(fb[..., 0], -MAX_MV, MAX_MV)
+    fy = jnp.clip(fb[..., 1], -MAX_MV, MAX_MV)
+    dx = jnp.floor(fx)
+    wx = fx - dx
+    dy = jnp.floor(fy)
+    wy = fy - dy
+
+    dxi = dx.astype(jnp.int32)
+    delta = jnp.floor_divide(dxi, 2)
+    odd = dxi - 2 * delta  # 0/1 (floor_divide rounds toward -inf)
+
+    # per out pair (4 pairs per 8-px block)
+    rep = lambda a: jnp.repeat(a, 4, axis=-1)  # (b, nby, wh)
+    delta_p, odd_p = rep(delta), rep(odd)
+    wx0_p, wx1_p = rep(1.0 - wx), rep(wx)
+
+    k_local = (jnp.arange(wh, dtype=jnp.int32) % tile).reshape(1, 1, wh)
+    m_x = k_local + delta_p + BOFF          # S_x column (and even S_same)
+    m_same = m_x + odd_p                    # odd d shifts the S_same tap
+    val_same = jnp.where(odd_p == 1, wx1_p, wx0_p)
+    val_x = jnp.where(odd_p == 1, wx0_p, wx1_p)
+
+    oh = lambda iota, col, val: jnp.where(
+        iota == col[..., None], val[..., None], 0.0
+    )
+    iota_m = jnp.arange(kwp, dtype=jnp.int32)
+    s_same = oh(iota_m, m_same, val_same).reshape(b, nby, nt, tile, kwp)
+    s_x = oh(iota_m, m_x, val_x).reshape(b, nby, nt, tile, kwp)
+
+    dloc = rep(dy.astype(jnp.int32)) + PAD_Y  # in [4, 36]
+    wy0_p, wy1_p = rep(1.0 - wy), rep(wy)
+    iota_d = jnp.arange(128, dtype=jnp.int32)
+    vm = oh(iota_d, dloc, wy0_p) + oh(iota_d, dloc + 1, wy1_p)  # (b, nby, wh, 128)
+    return s_same, s_x, vm
+
+
+def _dma_cases(nby: int, hp: int):
+    """Static (t, band_row0, src_row0, rows) DMA plans; edge bands clamp
+    into the zero-filled band (the PF pad rows double as the first/last
+    8 rows of halo)."""
+    specials, general = [], []
+    for t in range(nby):
+        s = t * 8 - 12  # PF row of band row 0
+        cs, ce = max(0, s), min(hp, s + BAND)
+        if cs == s and ce == s + BAND:
+            general.append(t)
+        else:
+            specials.append((t, cs - s, cs, ce - cs))
+    if general:
+        g0, g1 = min(general), max(general)
+    else:
+        g0, g1 = 1, 0  # empty range
+    return specials, g0, g1
+
+
+def _kernel(
+    ssame_ref, sx_ref, vm_ref, zpf_hbm, o_ref, bands, zmix, hband, sems,
+    *, nby, wh, tile, nt, kw, wb, hp, wp, stages=("swap", "h", "v"),
+):
+    bi = pl.program_id(0)
+    rp = pl.program_id(1)  # PF row-block index; band t = rp - 1
+    dtype = o_ref.dtype
+    specials, g0, g1 = _dma_cases(nby, hp)
+
+    def band_dma(t, slot, do_start: bool):
+        band = bands.at[slot]
+
+        def issue(b0, s0, rows, _band=band, _t=t):
+            d = pltpu.make_async_copy(
+                zpf_hbm.at[bi, pl.ds(s0, rows)],
+                _band.at[pl.ds(b0, rows), pl.ds(16, wp)],
+                sems.at[slot],
+            )
+            if do_start:
+                if b0 > 0:
+                    _band[0:b0] = jnp.zeros_like(_band[0:b0])
+                if b0 + rows < BAND:
+                    _band[b0 + rows :] = jnp.zeros_like(_band[b0 + rows :])
+                _band[:, 0:16] = jnp.zeros_like(_band[:, 0:16])
+                _band[:, 16 + wp :] = jnp.zeros_like(_band[:, 16 + wp :])
+                d.start()
+            else:
+                d.wait()
+
+        for t_s, b0, s0, rows in specials:
+            @pl.when(t == t_s)
+            def _(b0=b0, s0=s0, rows=rows):
+                issue(b0, s0, rows)
+
+        if g0 <= g1:
+            @pl.when((t >= g0) & (t <= g1))
+            def _():
+                issue(0, t * 8 - 12, BAND)
+
+    slot = jax.lax.rem(rp, 2)
+    nxt = jax.lax.rem(rp + 1, 2)
+
+    @pl.when(rp == 1)
+    def _():
+        band_dma(0, slot, True)
+
+    @pl.when((rp >= 1) & (rp + 1 < nby + 1))
+    def _():
+        band_dma(rp, nxt, True)
+
+    @pl.when((rp == 0) | (rp == nby + 1))
+    def _():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    @pl.when((rp > 0) & (rp < nby + 1))
+    def _():
+        band_dma(rp - 1, slot, False)
+        band = bands.at[slot]
+
+        if "swap" in stages:
+            # ---- Zmix: half-lane swap (MXU) + one-sublane shift select
+            ri_ = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+            ci_ = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+            perm = (jnp.abs(ri_ - ci_) == 64).astype(dtype)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (wb, 128), 1)
+
+            def swap_body(r, _):
+                zr = jax.lax.dot_general(
+                    band[r], perm, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(dtype)
+                zsh = jnp.concatenate(
+                    [zr[1:], jnp.zeros((1, 128), dtype)], axis=0
+                )
+                zmix[r] = jnp.where(lane < 64, zr, zsh)
+                return 0
+
+            jax.lax.fori_loop(0, BAND, swap_body, 0)
+
+        if "h" in stages:
+            # ---- H pass: two selection dots per (row, tile)
+            for tj in range(nt):
+                ws = tj * tile
+                ss = ssame_ref[0, 0, tj, :, 0:kw]
+                sx = sx_ref[0, 0, tj, :, 0:kw]
+
+                def h_body(r, _, ws=ws, ss=ss, sx=sx):
+                    t1 = jax.lax.dot_general(
+                        ss, band[r, ws : ws + kw], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    t2 = jax.lax.dot_general(
+                        sx, zmix[r, ws : ws + kw], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    hband[r, ws : ws + tile] = (t1 + t2).astype(dtype)
+                    return 0
+
+                jax.lax.fori_loop(0, BAND, h_body, 0)
+
+        if "v" in stages:
+            # ---- V pass: dense masked select (2 live terms per column)
+            acc = jnp.zeros((8, wh, 128), jnp.float32)
+            for d in range(DV):
+                wv = vm_ref[0, 0, :, d : d + 1]  # (wh, 1)
+                acc = acc + hband[d : d + 8].astype(jnp.float32) * wv[None]
+        else:
+            acc = hband[0:8].astype(jnp.float32)
+
+        o_ref[0, :, 0:8] = jnp.zeros((8, 8, 128), dtype)
+        o_ref[0, :, 8 : 8 + wh] = acc.astype(dtype)
+        o_ref[0, :, 8 + wh :] = jnp.zeros((8, wp - 8 - wh, 128), dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "tile", "stages"))
+def warp_pf(zpf, s_same, s_x, vm, h: int, w: int, tile: int = 128,
+            stages=("swap", "h", "v")):
+    """Warp a PF carry by prebuilt selection tables -> PF result.
+
+    Args:
+      zpf: (b, h+16, wh+16, 128) PF feature map (kernels/drt_stack.py
+        layout, th=8-compatible: HP == h + 16).
+      s_same, s_x, vm: from :func:`build_warp_tables` (cast to zpf dtype).
+    """
+    b, hp_in, wp_in, c2 = zpf.shape
+    wh, nt, kw, kwp, wb, hp, wp = warp_pf_geometry(h, w, tile)
+    if (hp_in, wp_in, c2) != (hp, wp, 128):
+        raise ValueError(
+            f"PF shape {zpf.shape} != geometry {(hp, wp, 128)} for {h}x{w}"
+        )
+    nby = h // 8
+    dtype = zpf.dtype
+    kern = functools.partial(
+        _kernel, nby=nby, wh=wh, tile=tile, nt=nt, kw=kw, wb=wb, hp=hp, wp=wp,
+        stages=stages,
+    )
+    cl = lambda r: jnp.clip(r - 1, 0, nby - 1)
+    return pl.pallas_call(
+        kern,
+        grid=(b, nby + 2),
+        in_specs=[
+            pl.BlockSpec((1, 1, nt, tile, kwp),
+                         lambda bi, r: (bi, cl(r), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nt, tile, kwp),
+                         lambda bi, r: (bi, cl(r), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, wh, 128), lambda bi, r: (bi, cl(r), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 8, wp, 128), lambda bi, r: (bi, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, 128), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, BAND, wb, 128), dtype),
+            pltpu.VMEM((BAND, wb, 128), dtype),
+            pltpu.VMEM((BAND, wh, 128), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        s_same.reshape(b, nby, nt, tile, kwp).astype(dtype),
+        s_x.reshape(b, nby, nt, tile, kwp).astype(dtype),
+        vm.reshape(b, nby, wh, 128).astype(dtype),
+        zpf,
+    )
+
+
+def flow_warp_pf(zpf, flow, h: int, w: int, tile: int = 128):
+    """Convenience: tables from ``flow`` + :func:`warp_pf`."""
+    s_same, s_x, vm = build_warp_tables(flow, h, w, tile)
+    return warp_pf(zpf, s_same, s_x, vm, h, w, tile)
