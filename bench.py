@@ -103,12 +103,17 @@ def main():
     use_pallas = os.environ.get("PNP_BENCH_PALLAS", "1") != "0" and on_tpu
     # block8 exploits the rasterizer's 8x8-block-constant MV structure
     # (exact on rasterized full-frame inputs); PNP_BENCH_BLOCK_WARP=0 falls
-    # back to the generic per-pixel gather.
-    warp_impl = (
-        "block8"
-        if os.environ.get("PNP_BENCH_BLOCK_WARP", "1") != "0" and on_tpu
-        else "padgather"
-    )
+    # back to the generic per-pixel gather. PNP_BENCH_WARP overrides the
+    # implementation outright: 'pf' = the PF-resident banded Pallas warp
+    # (kernels/warp_pf.py; additionally bounds |MV| <= 16, the H.264
+    # search range — the smoke clamps its MVs so the oracle agrees).
+    warp_impl = os.environ.get("PNP_BENCH_WARP", "")
+    if not warp_impl or not on_tpu:
+        warp_impl = (
+            "block8"
+            if os.environ.get("PNP_BENCH_BLOCK_WARP", "1") != "0" and on_tpu
+            else "padgather"
+        )
     model = PnPVCVE(
         remat=False, feature_dtype=jnp.bfloat16, use_pallas_kernels=use_pallas,
         warp_impl=warp_impl,
@@ -124,9 +129,16 @@ def main():
     smoke_err = None
     if on_tpu and use_pallas:
         s_in = make_inputs(1, 2, 32, 32, dtype=jnp.float32)
-        kw = dict(remat=False, feature_dtype=jnp.float32, warp_impl=warp_impl)
-        ref_m = PnPVCVE(**kw, use_pallas_kernels=False)
-        pal_m = PnPVCVE(**kw, use_pallas_kernels=True)
+        if warp_impl == "pf":
+            # pf bounds |MV| <= 16 (H.264 search range); clamp so the
+            # block8 oracle agrees exactly
+            s_in["mvs"] = jnp.clip(s_in["mvs"], -16.0, 16.0)
+        kw = dict(remat=False, feature_dtype=jnp.float32)
+        # the XLA oracle side has no 'pf' (PF layouts are Pallas-only);
+        # block8 is numerically identical on these block-constant MVs
+        ref_wi = "block8" if warp_impl == "pf" else warp_impl
+        ref_m = PnPVCVE(**kw, use_pallas_kernels=False, warp_impl=ref_wi)
+        pal_m = PnPVCVE(**kw, use_pallas_kernels=True, warp_impl=warp_impl)
         s_params = ref_m.init(jax.random.PRNGKey(1), **s_in)
         want = np.asarray(jax.jit(ref_m.apply)(s_params, **s_in), np.float32)
         got = np.asarray(jax.jit(pal_m.apply)(s_params, **s_in), np.float32)

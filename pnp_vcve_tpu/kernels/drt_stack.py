@@ -392,7 +392,7 @@ def drt_stack_packed(x, par, blocks, th: int = 16):
 
 
 def _input_conv_kernel(
-    *refs, th, cols2, wh, n_parts, h,
+    *refs, th, cols2, wh, n_parts, h, pf_flags=None,
 ):
     """Packed fused input conv: PF out tile = lrelu(sum_p conv3x3(part_p)).
 
@@ -401,6 +401,10 @@ def _input_conv_kernel(
     0 and n-1 are pure pad (written as zeros), tile 1 / n-2 zero-fill one
     context row, everything else DMAs th+2 full rows.
 
+    ``pf_flags[p]`` marks part p as ALREADY in PF layout (b, HP, WP, 2c):
+    its context band is one full-width row DMA at PF rows
+    [(t-1)*th + 7, ...) with no edge cases — the PF pad ring (zeroed by
+    every PF producer) supplies the halo rows/cols.
     """
     part_hbm = refs[:n_parts]
     w_refs = refs[n_parts : 2 * n_parts]
@@ -425,6 +429,21 @@ def _input_conv_kernel(
         s = t * th - 9
         for p in range(n_parts):
             band = bands[p].at[slot]
+
+            if pf_flags and pf_flags[p]:
+                # PF source: rows [(t-1)*th + 7, + th + 2) always in
+                # bounds (min 7 at t=1, max h+9 <= HP); full-width copy,
+                # band col of packed col j = j + 8 either way.
+                d = pltpu.make_async_copy(
+                    part_hbm[p].at[bi, pl.ds(t * th - th + 7, th + 2)],
+                    band.at[pl.ds(0, th + 2)],
+                    sems.at[slot, p],
+                )
+                if do_start:
+                    d.start()
+                else:
+                    d.wait()
+                continue
 
             @pl.when(t == 1)
             def _():
@@ -507,7 +526,8 @@ def _input_conv_kernel(
         )
 
 
-def input_conv_pf(parts, kernel, bias, cout: int = 64, part_specs=None):
+def input_conv_pf(parts, kernel, bias, cout: int = 64, part_specs=None,
+                  part_pf=None):
     """Fused BAE input conv emitting PF directly.
 
     ``conv(concat(parts))`` as a sum of per-part packed convolutions with
@@ -524,9 +544,18 @@ def input_conv_pf(parts, kernel, bias, cout: int = 64, part_specs=None):
         KERNEL (a scalar select/gain commutes with convolution, so e.g.
         ``where(flag, a, b)`` as a conv input becomes two gained parts —
         no full-frame select). None = sequential offsets, gain 1.
+      part_pf: optional list of bools — True marks a part ALREADY in PF
+        layout (b, HP, WP, 128), e.g. a warp_pf output or the previous
+        step's PF stack carry; its logical channel count is 64 and its pad
+        ring must be zero (all PF producers here guarantee that).
     Returns: PF (b, HP, WP, 2*cout) bfloat-typed like parts[0].
     """
-    b, h, w, _ = parts[0].shape
+    if part_pf is None:
+        part_pf = [False] * len(parts)
+    i0 = part_pf.index(False) if False in part_pf else None
+    if i0 is None:
+        raise ValueError("need at least one non-PF part to fix h, w")
+    b, h, w, _ = parts[i0].shape
     th = PAD_R  # the tiling contract hard-wires th == PAD_R == 8
     if h % th or (w // 2) % 8 or w % 2:
         raise ValueError(f"need h%8==0 and (w/2)%8==0, got {h}x{w}")
@@ -536,21 +565,31 @@ def input_conv_pf(parts, kernel, bias, cout: int = 64, part_specs=None):
     dtype = parts[0].dtype
     c2 = 2 * cout
 
+    def logical_c(p, is_pf):
+        return p.shape[-1] // 2 if is_pf else p.shape[-1]
+
     if part_specs is None:
         offs = []
         off = 0
-        for part in parts:
+        for part, is_pf in zip(parts, part_pf):
             offs.append((off, None))
-            off += part.shape[-1]
+            off += logical_c(part, is_pf)
         if off != kernel.shape[2]:
             raise ValueError("part channels do not sum to kernel cin")
         part_specs = offs
 
     packed_parts = []
     w_parts = []
-    for part, (off, gain) in zip(parts, part_specs):
-        cp = part.shape[-1]
-        pk = part.reshape(b, h, wh, 2 * cp)
+    for part, (off, gain), is_pf in zip(parts, part_specs, part_pf):
+        cp = logical_c(part, is_pf)
+        if is_pf:
+            if part.shape != (b, HP, WP, 128):
+                raise ValueError(
+                    f"PF part shape {part.shape} != {(b, HP, WP, 128)}"
+                )
+            pk = part
+        else:
+            pk = part.reshape(b, h, wh, 2 * cp)
         kp = pack_conv3x3_kernel_per_tap(
             kernel[:, :, off : off + cp, :].astype(dtype)
         )  # (3, 3, 2cp, 2cout)
@@ -571,7 +610,7 @@ def input_conv_pf(parts, kernel, bias, cout: int = 64, part_specs=None):
 
     kern = functools.partial(
         _input_conv_kernel, th=th, cols2=cols2, wh=wh,
-        n_parts=len(parts), h=h,
+        n_parts=len(parts), h=h, pf_flags=tuple(part_pf),
     )
     # per-sample kernels (gain-gated parts need them; ungated are broadcast)
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * len(parts) + [
@@ -588,8 +627,10 @@ def input_conv_pf(parts, kernel, bias, cout: int = 64, part_specs=None):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, HP, WP, c2), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 2, cols2 + 16, max(2 * p.shape[-1], 128)), dtype)
-            for p in parts
+            pltpu.VMEM(
+                (2, th + 2, cols2 + 16, max(2 * logical_c(p, f), 128)), dtype
+            )
+            for p, f in zip(parts, part_pf)
         ] + [pltpu.SemaphoreType.DMA((2, len(parts)))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -648,26 +689,48 @@ def make_trainable_stack(th: int):
     return f
 
 
-def _part_specs_for_gate(parts, align_gate):
+def _part_specs_for_gate(parts, align_gate, part_pf=None):
     """BAE part layout (lr, key_warp, neighbor[, cur]) with the align_key
     select expressed as KERNEL gains: where(g, kw, nb) as a conv input
     equals conv(kw, g*K_nb) + conv(nb, (1-g)*K_nb) — a per-sample scalar on
-    the (3,3,c,c) kernel instead of a full-frame select."""
+    the (3,3,c,c) kernel instead of a full-frame select. ``part_pf`` marks
+    PF-layout parts whose LOGICAL channel count is shape[-1] // 2."""
+    if part_pf is None:
+        part_pf = [False] * len(parts)
+    lc = [
+        p.shape[-1] // 2 if f else p.shape[-1] for p, f in zip(parts, part_pf)
+    ]
     lr, kw, nb = parts[0], parts[1], parts[2]
-    rest = list(parts[3:])
-    c_lr, c_kw = lr.shape[-1], kw.shape[-1]
+    c_lr, c_kw = lc[0], lc[1]
     g = align_gate.astype(jnp.float32)
     specs = [(0, None), (c_lr, None), (c_lr + c_kw, g), (c_lr + c_kw, 1.0 - g)]
     arrs = [lr, kw, kw, nb]
-    off = c_lr + c_kw + nb.shape[-1]
-    for r in rest:
+    off = c_lr + c_kw + lc[2]
+    for r, cr in zip(parts[3:], lc[3:]):
         arrs.append(r)
         specs.append((off, None))
-        off += r.shape[-1]
+        off += cr
     return arrs, specs
 
 
-def _xla_input_stack_compose(parts, kernel, bias, par, blocks, align_gate=None):
+def _gate_pf_flags(part_pf):
+    """part_pf for the (lr, kw, kw, nb, *rest) arrs _part_specs_for_gate
+    builds from (lr, kw, nb, *rest) parts."""
+    p = list(part_pf)
+    return [p[0], p[1], p[1], p[2]] + p[3:]
+
+
+def _xla_input_stack_compose(parts, kernel, bias, par, blocks, align_gate=None,
+                             part_pf=None, h=None, w=None, pf_out=False):
+    if part_pf is not None and any(part_pf):
+        parts = tuple(
+            unpack_pf(p, h, w) if f else p for p, f in zip(parts, part_pf)
+        )
+    if pf_out:
+        out = _xla_input_stack_compose(
+            parts, kernel, bias, par, blocks, align_gate
+        )
+        return pack_pf(out, th=PAD_R)
     if align_gate is not None:
         lr, kw, nb = parts[0], parts[1], parts[2]
         nb = jnp.where(align_gate[:, None, None, None], kw, nb)
@@ -687,17 +750,33 @@ def _xla_input_stack_compose(parts, kernel, bias, par, blocks, align_gate=None):
     return _xla_block_compose(feat, par, blocks)
 
 
-def make_trainable_input_stack(th: int, h: int, w: int, cout: int, gated: bool = False):
+def make_trainable_input_stack(th: int, h: int, w: int, cout: int,
+                               gated: bool = False, part_pf=None,
+                               pf_out: bool = False):
     """``f(parts, kernel, bias, par, blocks[, align_gate])``: fused input
     conv + PF stack forward, XLA-composition VJP. ``gated=True`` adds the
-    align_key select as per-sample kernel gains (see _part_specs_for_gate)."""
+    align_key select as per-sample kernel gains (see _part_specs_for_gate).
+    ``part_pf`` marks PF-layout parts; ``pf_out=True`` returns the raw PF
+    stack output (the PF-resident carry) instead of unpacking."""
+    part_pf = list(part_pf) if part_pf is not None else None
+    pf_in = part_pf is not None and any(part_pf)
+
+    def _compose_xla(parts, kernel, bias, par, blocks, align_gate=None):
+        return _xla_input_stack_compose(
+            parts, kernel, bias, par, blocks, align_gate,
+            part_pf=part_pf if pf_in else None, h=h, w=w, pf_out=pf_out,
+        )
 
     if not gated:
 
         @jax.custom_vjp
         def f(parts, kernel, bias, par, blocks):
-            xpf = input_conv_pf(list(parts), kernel, bias, cout=cout)
-            return drt_stack_packed_from_pf(xpf, par, blocks, h=h, w=w, th=th)
+            xpf = input_conv_pf(
+                list(parts), kernel, bias, cout=cout, part_pf=part_pf
+            )
+            return drt_stack_packed_from_pf(
+                xpf, par, blocks, h=h, w=w, th=th, unpack=not pf_out
+            )
 
         def fwd(parts, kernel, bias, par, blocks):
             return f(parts, kernel, bias, par, blocks), (parts, kernel, bias, par, blocks)
@@ -705,7 +784,7 @@ def make_trainable_input_stack(th: int, h: int, w: int, cout: int, gated: bool =
         def bwd(res, g):
             parts, kernel, bias, par, blocks = res
             _, vjp = jax.vjp(
-                lambda *a: _xla_input_stack_compose(*a), parts, kernel, bias, par, blocks
+                lambda *a: _compose_xla(*a), parts, kernel, bias, par, blocks
             )
             return vjp(g)
 
@@ -714,9 +793,14 @@ def make_trainable_input_stack(th: int, h: int, w: int, cout: int, gated: bool =
 
     @jax.custom_vjp
     def fg(parts, kernel, bias, par, blocks, align_gate):
-        arrs, specs = _part_specs_for_gate(parts, align_gate)
-        xpf = input_conv_pf(arrs, kernel, bias, cout=cout, part_specs=specs)
-        return drt_stack_packed_from_pf(xpf, par, blocks, h=h, w=w, th=th)
+        arrs, specs = _part_specs_for_gate(parts, align_gate, part_pf)
+        xpf = input_conv_pf(
+            arrs, kernel, bias, cout=cout, part_specs=specs,
+            part_pf=_gate_pf_flags(part_pf) if pf_in else None,
+        )
+        return drt_stack_packed_from_pf(
+            xpf, par, blocks, h=h, w=w, th=th, unpack=not pf_out
+        )
 
     def fwd_g(parts, kernel, bias, par, blocks, align_gate):
         return fg(parts, kernel, bias, par, blocks, align_gate), (
@@ -726,7 +810,7 @@ def make_trainable_input_stack(th: int, h: int, w: int, cout: int, gated: bool =
     def bwd_g(res, g):
         parts, kernel, bias, par, blocks, align_gate = res
         _, vjp = jax.vjp(
-            lambda p, k, b2, pr, bl: _xla_input_stack_compose(
+            lambda p, k, b2, pr, bl: _compose_xla(
                 p, k, b2, pr, bl, align_gate
             ),
             parts, kernel, bias, par, blocks,
@@ -880,7 +964,8 @@ def _xla_head(x, head):
 
 
 def make_trainable_input_stack_head(
-    th: int, h: int, w: int, cout: int, gated: bool = False
+    th: int, h: int, w: int, cout: int, gated: bool = False,
+    part_pf=None, pf_out: bool = False,
 ):
     """``f(parts, kernel, bias, par, blocks, head[, align_gate])`` ->
     ``(out, y)``: the fused input conv + PF stack + packed reconstruction
@@ -891,26 +976,36 @@ def make_trainable_input_stack_head(
     the (t,b,h,w,3) buffer, found in the b=2 OOM allocation dump).
     Forward is Pallas; the VJP re-derives through the numerically identical
     XLA composition. ``head`` = (hr_kernel, hr_bias, last_kernel, last_bias).
+    ``part_pf`` marks PF-layout parts; ``pf_out=True`` returns ``out`` as
+    the raw PF stack output (the PF-resident carry) instead of unpacking.
     """
+    part_pf = list(part_pf) if part_pf is not None else None
+    pf_in = part_pf is not None and any(part_pf)
 
     def _fused(parts, kernel, bias, par, blocks, head, align_gate):
         if align_gate is not None:
-            arrs, specs = _part_specs_for_gate(parts, align_gate)
+            arrs, specs = _part_specs_for_gate(parts, align_gate, part_pf)
+            flags = _gate_pf_flags(part_pf) if pf_in else None
         else:
             arrs, specs = list(parts), None
-        xpf = input_conv_pf(arrs, kernel, bias, cout=cout, part_specs=specs)
+            flags = part_pf if pf_in else None
+        xpf = input_conv_pf(
+            arrs, kernel, bias, cout=cout, part_specs=specs, part_pf=flags
+        )
         ypf = drt_stack_packed_from_pf(
             xpf, par, blocks, h=h, w=w, th=th, unpack=False
         )
-        out = unpack_pf(ypf, h, w)
+        out = ypf if pf_out else unpack_pf(ypf, h, w)
         y = head_pf(ypf, head[0], head[1], head[2], head[3], h, w)
         return out, y
 
     def _compose(parts, kernel, bias, par, blocks, head, align_gate):
         out = _xla_input_stack_compose(
-            parts, kernel, bias, par, blocks, align_gate
+            parts, kernel, bias, par, blocks, align_gate,
+            part_pf=part_pf if pf_in else None, h=h, w=w,
         )
-        return out, _xla_head(out, head)
+        y = _xla_head(out, head)
+        return (pack_pf(out, th=PAD_R) if pf_out else out), y
 
     if not gated:
 

@@ -253,6 +253,9 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
         align_gate: Optional[jnp.ndarray] = None,
         head=None,
         premixed=None,
+        part_pf=None,
+        pf_out: bool = False,
+        pf_hw=None,
     ) -> jnp.ndarray:
         """``x``: (b,h,w,cin) array, or a SEQUENCE of arrays whose channels
         sum to ``in_channels`` — conv(concat(parts)) is computed as
@@ -273,7 +276,15 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
         ``(out, y)``. On the fused path the head runs as a packed Pallas
         kernel directly on the PF stack output, which keeps the scan-xs lrs
         stack away from the XLA head convs' layout constraints (a 42.7x
-        HBM padding expansion at b=2, found via the OOM allocation dump)."""
+        HBM padding expansion at b=2, found via the OOM allocation dump).
+
+        ``part_pf``/``pf_out``/``pf_hw``: the PF-resident pipeline
+        (kernels/drt_stack.py input_conv_pf part_pf docs). ``part_pf[i]``
+        marks part i as ALREADY in the stack's packed PF layout (a warp_pf
+        output or the previous step's PF carry — no pad/transpose glue);
+        ``pf_out=True`` returns the raw PF stack output. ``pf_hw=(h, w)``
+        supplies the logical spatial shape (required when part 0 is PF).
+        Only valid on the fused path; a non-fused fall-through raises."""
         kernel = self.param(
             "input_conv_kernel",
             torch_conv_default,
@@ -286,7 +297,11 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
         )
         if align_gate is not None and not isinstance(x, (tuple, list)):
             raise ValueError("align_gate requires the parts form of x")
-        h_, w_ = x[0].shape[1:3] if isinstance(x, (tuple, list)) else x.shape[1:3]
+        pf_in = part_pf is not None and any(part_pf)
+        if pf_hw is not None:
+            h_, w_ = pf_hw
+        else:
+            h_, w_ = x[0].shape[1:3] if isinstance(x, (tuple, list)) else x.shape[1:3]
         hp_ = -(-(h_ + 16) // self.pallas_th) * self.pallas_th
         # the PF emitted by input_conv_pf (th=8 tiling) must line up with
         # the stack's th-tiled grid: (h+16) divisible by both
@@ -339,18 +354,23 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
             if head is not None:
                 fused = make_trainable_input_stack_head(
                     self.pallas_th, h_, w_, self.out_channels,
-                    gated=gate is not None,
+                    gated=gate is not None, part_pf=part_pf, pf_out=pf_out,
                 )
                 args = (tuple(x), kernel, bias, par, params, tuple(head))
                 return fused(*args, gate) if gate is not None else fused(*args)
             # fused Pallas forward, XLA-composition backward (trainable)
             fused = make_trainable_input_stack(
                 self.pallas_th, h_, w_, self.out_channels,
-                gated=gate is not None,
+                gated=gate is not None, part_pf=part_pf, pf_out=pf_out,
             )
             if gate is not None:
                 return fused(tuple(x), kernel, bias, par, params, gate)
             return fused(tuple(x), kernel, bias, par, params)
+        if pf_in or pf_out:
+            raise ValueError(
+                "PF-resident parts require the fused Pallas input-stack path "
+                "(use_pallas + one_layer + channel_first + aligned shapes)"
+            )
         if align_gate is not None:
             # non-fused fallback: materialize the select
             g = align_gate[:, None, None, None] != 0

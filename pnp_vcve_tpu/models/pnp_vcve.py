@@ -113,11 +113,28 @@ class _BackwardStep(nn.Module):
     deform_groups: int = 16
     warp_impl: str = "padgather"
 
+    @property
+    def pf_resident(self):
+        """True = the PF-resident serving pipeline: carries and warps stay in
+        the Pallas stack's pixel-pair-packed PF layout end to end (warp_pf ->
+        input_conv_pf(part_pf) -> PF stack -> PF carry), eliminating the XLA
+        block-window gather (measured 22.3 ms/frame of warp+fallout at 720p)
+        AND all pad/transpose glue. Serving-only, like block8: exact for
+        8x8-block-constant flows with |MV| <= 16 (kernels/warp_pf.py)."""
+        return self.warp_impl == "pf"
+
     def _align(self, feat, flow):
         """Keyframe aligner (reference self.deform_align, iconvsr_ipb.py:19-28).
         NOTE: the reference shares ONE aligner module between the backward and
         forward sweeps; here each sweep owns its params (flax scan scoping) and
         the checkpoint converter writes the reference weights into both."""
+        if self.pf_resident:
+            from pnp_vcve_tpu.kernels.warp_pf import flow_warp_pf
+
+            h, w = flow.shape[1:3]
+            wh = w // 2
+            tile = next(t for t in (128, 64, 32, 16, 8) if wh % t == 0)
+            return flow_warp_pf(feat, flow, h, w, tile=tile)
         if self.deform == "vos":
             return flow_warp(
                 feat, flow, self.flow_interpolation, impl=self.warp_impl
@@ -205,9 +222,12 @@ class _BackwardStep(nn.Module):
         else:
             feat = (lr, key_warp)
 
+        pf = self.pf_resident
+        c = self.mid_channels
         out = ResidualBlocksWithInputConvDynamicDRT(
-            in_channels=sum(f.shape[-1] for f in feat),
-            out_channels=self.mid_channels,
+            in_channels=3 + c * (len(feat) - 1) if pf
+            else sum(f.shape[-1] for f in feat),
+            out_channels=c,
             num_blocks=self.num_blocks,
             num_experts=self.num_experts,
             with_se=self.with_se,
@@ -216,7 +236,9 @@ class _BackwardStep(nn.Module):
             use_dynamic=self.use_dynamic,
             use_pallas=self.use_pallas,
             name="resblocks",
-        )(feat, par, weights, gamma, align_gate=gate, premixed=premixed)
+        )(feat, par, weights, gamma, align_gate=gate, premixed=premixed,
+          part_pf=[False] + [True] * (len(feat) - 1) if pf else None,
+          pf_out=pf, pf_hw=lr.shape[1:3] if pf else None)
 
         key_mask = is_key[:, None, None, None]
         last_key = jnp.where(key_mask, out, last_key)
@@ -244,6 +266,7 @@ class _ForwardStep(nn.Module):
 
     _align = _BackwardStep._align
     premix = _BackwardStep.premix
+    pf_resident = _BackwardStep.pf_resident
 
     @nn.compact
     def __call__(self, carry, xs):
@@ -274,15 +297,18 @@ class _ForwardStep(nn.Module):
         # expansion -> b=2 OOM at 20.4G/15.75G); fusing the head removes
         # that constraint (b=2 fits, 13.98 f/s aggregate). At b=1 the XLA
         # head is ~1 f/s faster (no layout pressure to relieve), so fusion
-        # kicks in only for batched serving.
+        # kicks in only for batched serving. PF-resident mode has no
+        # unpacked stack output at all, so the fused head is mandatory.
+        pf = self.pf_resident
         head = (
             None
-            if (self.vsr or lr.shape[0] < 2)
+            if (self.vsr or (lr.shape[0] < 2 and not pf))
             else (hr_k, hr_b, last_k, last_b)
         )
 
         res = ResidualBlocksWithInputConvDynamicDRT(
-            in_channels=sum(f.shape[-1] for f in feat),
+            in_channels=3 + c * (len(feat) - 1) if pf
+            else sum(f.shape[-1] for f in feat),
             out_channels=self.mid_channels,
             num_blocks=self.num_blocks,
             num_experts=self.num_experts,
@@ -293,7 +319,9 @@ class _ForwardStep(nn.Module):
             use_pallas=self.use_pallas,
             name="resblocks",
         )(feat, par, weights, gamma, align_gate=gate, head=head,
-          premixed=premixed)
+          premixed=premixed,
+          part_pf=[False] + [True] * (len(feat) - 1) if pf else None,
+          pf_out=pf, pf_hw=lr.shape[1:3] if pf else None)
         out, y_head = res if head is not None else (res, None)
 
         key_mask = is_key[:, None, None, None]
@@ -458,7 +486,30 @@ class PnPVCVE(nn.Module):
             return jnp.moveaxis(x, 1, 0)
 
         rev = slice(None, None, -1)
-        zero_frame = jnp.zeros((b, h, w, c), dtype)
+        if self.warp_impl == "pf":
+            # PF-resident serving pipeline: carries live in the Pallas
+            # stack's packed PF layout; see _BackwardStep.pf_resident.
+            from pnp_vcve_tpu.kernels.drt_stack import pf_geometry
+
+            if self.vsr or self.deform != "vos" or not self.use_pallas_kernels:
+                raise ValueError(
+                    "warp_impl='pf' requires use_pallas_kernels=True, "
+                    "deform='vos', vsr=False"
+                )
+            if sweep != "full" or carry is not None:
+                raise ValueError(
+                    "warp_impl='pf' does not support the chunked two-sweep "
+                    "pipeline yet; use warp_impl='block8' there"
+                )
+            if c != 64 or h % 16 or w % 16:
+                raise ValueError(
+                    f"warp_impl='pf' needs mid_channels=64 and h,w %% 16 == 0,"
+                    f" got c={c}, {h}x{w}"
+                )
+            HP, WP, _, _, _ = pf_geometry(h, w, 16)
+            zero_frame = jnp.zeros((b, HP, WP, 2 * c), dtype)
+        else:
+            zero_frame = jnp.zeros((b, h, w, c), dtype)
         carry0 = (
             carry
             if carry is not None

@@ -395,3 +395,32 @@ def test_input_conv_pf_ab_fullwidth_part(rng):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref), atol=2e-4, rtol=2e-4
     )
+
+
+def test_input_conv_pf_accepts_pf_parts(rng):
+    """part_pf: PF-layout parts (warp_pf outputs / the PF carry) produce
+    identical results to the same parts passed unpacked."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pnp_vcve_tpu.kernels.drt_stack import input_conv_pf, pack_pf, unpack_pf
+
+    b, h, w = 1, 16, 32
+    lr = jnp.asarray(rng.standard_normal((b, h, w, 3)).astype(np.float32))
+    f1 = jnp.asarray(rng.standard_normal((b, h, w, 64)).astype(np.float32))
+    f2 = jnp.asarray(rng.standard_normal((b, h, w, 64)).astype(np.float32))
+    kernel = jnp.asarray(
+        rng.standard_normal((3, 3, 131, 64)).astype(np.float32) * 0.1
+    )
+    bias = jnp.asarray(rng.standard_normal((64,)).astype(np.float32) * 0.1)
+
+    with pltpu.force_tpu_interpret_mode():
+        want = input_conv_pf([lr, f1, f2], kernel, bias, cout=64)
+        got = input_conv_pf(
+            [lr, pack_pf(f1, th=8), pack_pf(f2, th=8)], kernel, bias,
+            cout=64, part_pf=[False, True, True],
+        )
+    np.testing.assert_allclose(
+        np.asarray(unpack_pf(got, h, w), np.float32),
+        np.asarray(unpack_pf(want, h, w), np.float32),
+        atol=2e-4, rtol=2e-4,
+    )

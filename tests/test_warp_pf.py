@@ -100,3 +100,60 @@ def test_warp_pf_tables_shapes(rng):
     s3, sx3, vm3 = build_warp_tables(big, h, w, tile)
     for a, bb in ((s2, s3), (sx2, sx3), (vm2, vm3)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+
+def test_model_pf_resident_matches_block8(rng):
+    """Flagship forward with warp_impl='pf' (the PF-resident pipeline:
+    warp_pf + input_conv_pf(part_pf) + PF carries + fused head) equals the
+    warp_impl='block8' pallas path on block-constant flows with |MV|<=16.
+    mid_channels=64 is the PF-resident contract (128-lane PF)."""
+    from pnp_vcve_tpu.models import PnPVCVE
+
+    b, t, h, w = 1, 3, 16, 32
+    lrs = jnp.asarray(rng.random((b, t, h, w, 3), np.float32))
+    qps = jnp.asarray(rng.random((b, t), np.float32))
+    slices = jnp.asarray(np.where(rng.random((b, t)) < 0.5, 73.0, 66.0))
+    fb = rng.uniform(-16.0, 16.0, (b, t, h // 8, w // 8, 4)).astype(np.float32)
+    mvs = jnp.asarray(np.repeat(np.repeat(fb, 8, axis=2), 8, axis=3))
+    base_qps = jnp.full((b, t), 15.0 / 255.0)
+    par = jnp.asarray((rng.random((b, t, h, w, 3)) > 0.5).astype(np.float32) / 255.0)
+
+    kw = dict(
+        mid_channels=64, num_blocks=2, num_experts=2, remat=False,
+        use_pallas_kernels=True,
+    )
+    ref_model = PnPVCVE(**kw, warp_impl="block8")
+    params = ref_model.init(
+        jax.random.PRNGKey(0), lrs, qps, slices, mvs, base_qps, par
+    )
+    expected = ref_model.apply(params, lrs, qps, slices, mvs, base_qps, par)
+
+    pf_model = PnPVCVE(**kw, warp_impl="pf")
+    got = pf_model.apply(params, lrs, qps, slices, mvs, base_qps, par)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), atol=3e-4, rtol=1e-4
+    )
+
+
+def test_model_pf_resident_guards():
+    """warp_impl='pf' refuses unsupported configurations loudly."""
+    from pnp_vcve_tpu.models import PnPVCVE
+
+    b, t, h, w = 1, 2, 16, 32
+    args = (
+        jnp.zeros((b, t, h, w, 3)), jnp.zeros((b, t)),
+        jnp.full((b, t), 73.0), jnp.zeros((b, t, h, w, 4)),
+        jnp.zeros((b, t)), jnp.zeros((b, t, h, w, 3)),
+    )
+    bad = PnPVCVE(
+        mid_channels=64, num_blocks=1, num_experts=2, remat=False,
+        use_pallas_kernels=False, warp_impl="pf",
+    )
+    with pytest.raises(ValueError, match="use_pallas_kernels"):
+        bad.init(jax.random.PRNGKey(0), *args)
+    bad_c = PnPVCVE(
+        mid_channels=8, num_blocks=1, num_experts=2, remat=False,
+        use_pallas_kernels=True, warp_impl="pf",
+    )
+    with pytest.raises(ValueError, match="mid_channels"):
+        bad_c.init(jax.random.PRNGKey(0), *args)
