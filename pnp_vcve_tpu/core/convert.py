@@ -130,6 +130,31 @@ def convert_generator_state_dict(
             tree[f"block{i}"] = blk
         params[side] = {"resblocks": tree}
 
+    if "deform_align.weight" in sd:
+        # deform='basic'/'fvc' aligner (iconvsr_ipb.py:19-23). The reference
+        # shares ONE module between sweeps; our flax scan scopes one per
+        # sweep, so the same weights are written into both (models/
+        # pnp_vcve.py _align docstring).
+        da_src = {
+            "weight": _conv(take("deform_align.weight")),
+            "bias": take("deform_align.bias"),
+            "conv_offset": {
+                "conv0": {
+                    "kernel": _conv(take("deform_align.conv_offset.0.weight")),
+                    "bias": take("deform_align.conv_offset.0.bias"),
+                },
+                "conv1": {
+                    "kernel": _conv(take("deform_align.conv_offset.2.weight")),
+                    "bias": take("deform_align.conv_offset.2.bias"),
+                },
+            },
+        }
+        for side in ("backward", "forward"):
+            params[side]["deform_align"] = {
+                k: (dict(v) if isinstance(v, dict) else np.copy(v))
+                for k, v in da_src.items()
+            }
+
     fwd = params["forward"]
     fwd["conv_hr_kernel"] = _conv(take("conv_hr.weight"))
     fwd["conv_hr_bias"] = take("conv_hr.bias")

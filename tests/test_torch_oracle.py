@@ -100,3 +100,44 @@ def test_flagship_vsr_matches_reference_code():
     ours = np.moveaxis(ours, -1, 2)
 
     np.testing.assert_allclose(ours, expected, atol=5e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("deform", ["basic", "fvc"])
+def test_flagship_dcn_aligners_match_reference_code(deform):
+    """deform='basic'/'fvc' (iconvsr_ipb.py:19-23): the reference's real
+    DCN aligner classes (iconvsr_mv.py:21-85, modulated deform conv via the
+    shim's pure-torch op) vs our converted aligners."""
+    gen = _ref_generator(seed=3)
+    mod = load_ref("mmedit.models.backbones.sr_backbones.iconvsr_mv")
+    torch.manual_seed(4)
+    if deform == "basic":
+        gen.deform_align = mod.BasiceformableAlignment(
+            C, C, 3, padding=1, flow_inter="bilinear", deform_groups=16,
+            max_residue_magnitude=10,
+        )
+        # nonzero offsets (init_offset zeroes the last conv -> plain warp)
+        with torch.no_grad():
+            gen.deform_align.conv_offset[-1].weight.add_(
+                torch.randn_like(gen.deform_align.conv_offset[-1].weight) * 0.02
+            )
+            gen.deform_align.conv_offset[-1].bias.add_(
+                torch.randn_like(gen.deform_align.conv_offset[-1].bias) * 0.02
+            )
+    else:
+        gen.deform_align = mod.FVCDeformableAlignment(
+            C, C, 3, padding=1, deform_groups=16, max_residue_magnitude=10,
+        )
+    gen.eval()
+    inputs = _inputs(seed=5)
+    with torch.no_grad():
+        expected = gen(*inputs).numpy()
+
+    params = _convert(gen)
+    assert "deform_align" in params["backward"]
+    model = PnPVCVE(
+        mid_channels=C, num_blocks=NB, num_experts=K, deform=deform,
+        deform_groups=16, remat=False,
+    )
+    ours = np.asarray(model.apply({"params": params}, **_to_ours(*inputs)))
+    ours = np.moveaxis(ours, -1, 2)
+    np.testing.assert_allclose(ours, expected, atol=5e-4, rtol=1e-4)
