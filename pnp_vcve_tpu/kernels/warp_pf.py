@@ -131,74 +131,64 @@ def build_warp_tables(flow: jnp.ndarray, h: int, w: int, tile: int = 128):
     return s_same, s_x, vm
 
 
-def _dma_cases(nby: int, hp: int):
-    """Static (t, band_row0, src_row0, rows) DMA plans; edge bands clamp
-    into the zero-filled band (the PF pad rows double as the first/last
-    8 rows of halo)."""
-    specials, general = [], []
-    for t in range(nby):
-        s = t * 8 - 12  # PF row of band row 0
-        cs, ce = max(0, s), min(hp, s + BAND)
-        if cs == s and ce == s + BAND:
-            general.append(t)
-        else:
-            specials.append((t, cs - s, cs, ce - cs))
-    if general:
-        g0, g1 = min(general), max(general)
-    else:
-        g0, g1 = 1, 0  # empty range
-    return specials, g0, g1
+NSLOT = 8  # circular chunk slots: a band spans 7 chunks, +1 prefetch
 
 
 def _kernel(
-    ssame_ref, sx_ref, vm_ref, zpf_hbm, o_ref, bands, zmix, hband, sems,
+    ssame_ref, sx_ref, vm_ref, zpf_hbm, o_ref, chunks, zmix, hband, sems,
     *, nby, wh, tile, nt, kw, wb, hp, wp, stages=("swap", "h", "v"),
 ):
+    """Rolling-chunk band pipeline: the source band of out band t is PF
+    rows [8t-12, 8t+36) = PF-aligned 8-row chunks t-2..t+4; consecutive
+    bands share 6 of those 7, so each grid step DMAs ONE new chunk into an
+    8-slot circular buffer (6x less HBM read than per-band 48-row DMAs —
+    tools/warp_pf_stages.py measured the full-band DMA floor at 2.76 ms).
+    Out-of-range chunks (top/bottom halo) are zero-filled whole."""
     bi = pl.program_id(0)
-    rp = pl.program_id(1)  # PF row-block index; band t = rp - 1
+    rp = pl.program_id(1)  # out band t = rp - 1
     dtype = o_ref.dtype
-    specials, g0, g1 = _dma_cases(nby, hp)
+    nchunks = hp // 8  # valid PF chunks (PF pad rows are real zero rows)
 
-    def band_dma(t, slot, do_start: bool):
-        band = bands.at[slot]
-
-        def issue(b0, s0, rows, _band=band, _t=t):
-            d = pltpu.make_async_copy(
-                zpf_hbm.at[bi, pl.ds(s0, rows)],
-                _band.at[pl.ds(b0, rows), pl.ds(16, wp)],
-                sems.at[slot],
-            )
-            if do_start:
-                if b0 > 0:
-                    _band[0:b0] = jnp.zeros_like(_band[0:b0])
-                if b0 + rows < BAND:
-                    _band[b0 + rows :] = jnp.zeros_like(_band[b0 + rows :])
-                _band[:, 0:16] = jnp.zeros_like(_band[:, 0:16])
-                _band[:, 16 + wp :] = jnp.zeros_like(_band[:, 16 + wp :])
+    def issue_chunk(k, do_start: bool):
+        # k may be traced; validity is a traced predicate
+        slot = jax.lax.rem(k + NSLOT, NSLOT)
+        valid = (k >= 0) & (k < nchunks)
+        d = pltpu.make_async_copy(
+            zpf_hbm.at[bi, pl.ds(8 * jnp.maximum(k, 0), 8)],
+            chunks.at[slot, :, pl.ds(16, wp)],
+            sems.at[slot],
+        )
+        if do_start:
+            @pl.when(valid)
+            def _():
                 d.start()
-            else:
+
+            @pl.when(~valid)
+            def _():
+                chunks[slot, :, 16 : 16 + wp] = jnp.zeros(
+                    (8, wp, 128), dtype
+                )
+        else:
+            @pl.when(valid)
+            def _():
                 d.wait()
 
-        for t_s, b0, s0, rows in specials:
-            @pl.when(t == t_s)
-            def _(b0=b0, s0=s0, rows=rows):
-                issue(b0, s0, rows)
-
-        if g0 <= g1:
-            @pl.when((t >= g0) & (t <= g1))
-            def _():
-                issue(0, t * 8 - 12, BAND)
-
-    slot = jax.lax.rem(rp, 2)
-    nxt = jax.lax.rem(rp + 1, 2)
-
-    @pl.when(rp == 1)
+    @pl.when(rp == 0)
     def _():
-        band_dma(0, slot, True)
+        # side-column zeros once per batch item; chunk DMAs never touch
+        # them, edge chunks rewrite the full width
+        chunks[:, :, 0:16] = jnp.zeros((NSLOT, 8, 16, 128), dtype)
+        chunks[:, :, 16 + wp :] = jnp.zeros(
+            (NSLOT, 8, wb - 16 - wp, 128), dtype
+        )
+        for k in range(-2, 5):  # band 0's chunks
+            issue_chunk(jnp.int32(k), True)
 
-    @pl.when((rp >= 1) & (rp + 1 < nby + 1))
+    t = rp - 1
+
+    @pl.when((rp >= 1) & (rp < nby))
     def _():
-        band_dma(rp, nxt, True)
+        issue_chunk(t + 5, True)  # prefetch for band t+1
 
     @pl.when((rp == 0) | (rp == nby + 1))
     def _():
@@ -206,49 +196,90 @@ def _kernel(
 
     @pl.when((rp > 0) & (rp < nby + 1))
     def _():
-        band_dma(rp - 1, slot, False)
-        band = bands.at[slot]
+        @pl.when(rp == 1)
+        def _():
+            for k in range(0, 5):
+                issue_chunk(jnp.int32(k), False)
+
+        @pl.when(rp > 1)
+        def _():
+            issue_chunk(t + 4, False)
 
         if "swap" in stages:
-            # ---- Zmix: half-lane swap (MXU) + one-sublane shift select
+            # ---- Zmix: half-lane swap (MXU) + one-sublane shift select.
+            # Per GLOBAL row, so it rolls with the chunks: only the newly
+            # landed chunk is swapped each step (6x less work than
+            # re-swapping the whole band).
             ri_ = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
             ci_ = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
             perm = (jnp.abs(ri_ - ci_) == 64).astype(dtype)
             lane = jax.lax.broadcasted_iota(jnp.int32, (wb, 128), 1)
 
-            def swap_body(r, _):
-                zr = jax.lax.dot_general(
-                    band[r], perm, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(dtype)
-                zsh = jnp.concatenate(
-                    [zr[1:], jnp.zeros((1, 128), dtype)], axis=0
-                )
-                zmix[r] = jnp.where(lane < 64, zr, zsh)
-                return 0
+            def swap_chunk(k):
+                slot = jax.lax.rem(k + NSLOT, NSLOT)
+                for row in range(8):
+                    zr = jax.lax.dot_general(
+                        chunks[slot, row], perm, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(dtype)
+                    zsh = jnp.concatenate(
+                        [zr[1:], jnp.zeros((1, 128), dtype)], axis=0
+                    )
+                    zmix[slot, row] = jnp.where(lane < 64, zr, zsh)
 
-            jax.lax.fori_loop(0, BAND, swap_body, 0)
+            @pl.when(rp == 1)
+            def _():
+                for k in range(-2, 4):
+                    swap_chunk(jnp.int32(k))
+
+            swap_chunk(t + 4)
 
         if "h" in stages:
-            # ---- H pass: two selection dots per (row, tile)
+            # ---- H pass: selection dots, R=4 band rows lane-batched per
+            # dot (same S for every row of a band; (tile, kw) @ (kw, 4*128)
+            # amortizes MXU pipeline fill ~4x vs per-row dots — measured
+            # 4.3 ms -> see tools/warp_pf_stages.py)
+            R = 4  # BAND % R == 0
+
+            def rowslc(buf, r, c0, cn):
+                gg = 8 * t + 4 + r
+                return buf[
+                    jax.lax.rem(gg // 8 + 6, NSLOT),
+                    jax.lax.rem(gg, 8),
+                    pl.ds(c0, cn),
+                ]
+
             for tj in range(nt):
                 ws = tj * tile
                 ss = ssame_ref[0, 0, tj, :, 0:kw]
                 sx = sx_ref[0, 0, tj, :, 0:kw]
 
-                def h_body(r, _, ws=ws, ss=ss, sx=sx):
+                def h_body(g, _, ws=ws, ss=ss, sx=sx):
+                    r = g * R
+                    bwin = jnp.concatenate(
+                        [rowslc(chunks, r + i, ws, kw) for i in range(R)],
+                        axis=-1,
+                    )
+                    zwin = jnp.concatenate(
+                        [rowslc(zmix, r + i, ws, kw) for i in range(R)],
+                        axis=-1,
+                    )
                     t1 = jax.lax.dot_general(
-                        ss, band[r, ws : ws + kw], (((1,), (0,)), ((), ())),
+                        ss, bwin, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
                     t2 = jax.lax.dot_general(
-                        sx, zmix[r, ws : ws + kw], (((1,), (0,)), ((), ())),
+                        sx, zwin, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                    hband[r, ws : ws + tile] = (t1 + t2).astype(dtype)
+                    t12 = (t1 + t2).astype(dtype)
+                    for i in range(R):
+                        hband[r + i, ws : ws + tile] = t12[
+                            :, i * 128 : (i + 1) * 128
+                        ]
                     return 0
 
-                jax.lax.fori_loop(0, BAND, h_body, 0)
+                jax.lax.fori_loop(0, BAND // R, h_body, 0)
 
         if "v" in stages:
             # ---- V pass: dense masked select (2 live terms per column)
@@ -305,10 +336,10 @@ def warp_pf(zpf, s_same, s_x, vm, h: int, w: int, tile: int = 128,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hp, wp, 128), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, BAND, wb, 128), dtype),
-            pltpu.VMEM((BAND, wb, 128), dtype),
-            pltpu.VMEM((BAND, wh, 128), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NSLOT, 8, wb, 128), dtype),   # rolling chunks
+            pltpu.VMEM((NSLOT, 8, wb, 128), dtype),   # rolling zmix
+            pltpu.VMEM((BAND, wh, 128), dtype),       # hband
+            pltpu.SemaphoreType.DMA((NSLOT,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
