@@ -63,6 +63,12 @@ def _build_pnp_vcve(
     deform_groups=16,
     max_residue_magnitude=10,
     keyframe_stride=5,
+    # TPU serving knobs (ours, no reference analog): fused Pallas DRT
+    # stack and warp implementation ('padgather' generic; 'block8'/'pf'
+    # serving-only, exact on uncropped rasterized MVs — train/train_step.py
+    # guards). 'pf' additionally keeps carries in the packed PF layout.
+    use_pallas_kernels=False,
+    warp_impl="padgather",
     **kwargs,
 ):
     if blocktype not in ("drt", "drt_woqp"):
@@ -88,6 +94,8 @@ def _build_pnp_vcve(
         blocktype=blocktype,
         flow_interpolation=flow_inter,
         remat=remat,
+        use_pallas_kernels=use_pallas_kernels,
+        warp_impl=warp_impl,
     )
 
 

@@ -55,10 +55,11 @@ def make_train_step(
     # (models/pnp_vcve.py warp_impl docstring). Training data is randomly
     # CROPPED (PairedRandomCrop_mv), which misaligns the macroblock grid,
     # so a block8-configured model would train on silently-wrong warps.
-    if getattr(model, "warp_impl", None) == "block8":
+    if getattr(model, "warp_impl", None) in ("block8", "pf"):
         raise ValueError(
-            "warp_impl='block8' is a serving-only optimization (exact only "
-            "on uncropped rasterized MV maps); train with 'padgather'"
+            f"warp_impl={model.warp_impl!r} is a serving-only optimization "
+            "(exact only on uncropped rasterized MV maps; 'pf' additionally "
+            "has no VJP through the warp kernel); train with 'padgather'"
         )
 
     def train_step(state: TrainState, batch):
