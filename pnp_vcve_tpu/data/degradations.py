@@ -131,6 +131,82 @@ def jpeg_compression(img: np.ndarray, quality: int) -> np.ndarray:
     return out.astype(img.dtype)
 
 
+try:  # optional: real codec round-trips need PyAV (same gate as reference)
+    import av  # type: ignore
+
+    _HAS_AV = True
+except ImportError:  # pragma: no cover - env-dependent
+    _HAS_AV = False
+
+
+def video_compression(
+    imgs: Sequence[np.ndarray], codec: str, bitrate: int
+) -> List[np.ndarray]:
+    """Round-trip a clip through a real video encoder at the given bitrate
+    (random_degradations.py:426-458). Frames are float in [0, 1], HWC RGB.
+
+    Requires PyAV; callers should gate on :data:`has_av` (the reference
+    asserts the same way, random_degradations.py:420)."""
+    if not _HAS_AV:
+        raise RuntimeError(
+            "video_compression needs PyAV ('av'), which is not installed"
+        )
+    buf = io.BytesIO()
+    with av.open(buf, "w", "mp4") as container:
+        stream = container.add_stream(codec, rate=1)
+        stream.height = imgs[0].shape[0]
+        stream.width = imgs[0].shape[1]
+        stream.pix_fmt = "yuv420p"
+        stream.bit_rate = int(bitrate)
+        for img in imgs:
+            u8 = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            frame = av.VideoFrame.from_ndarray(u8, format="rgb24")
+            frame.pict_type = "NONE"
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():  # flush
+            container.mux(packet)
+    out: List[np.ndarray] = []
+    with av.open(buf, "r", "mp4") as container:
+        if container.streams.video:
+            for frame in container.decode(video=0):
+                out.append(
+                    frame.to_rgb().to_ndarray().astype(np.float32) / 255.0
+                )
+    return out
+
+
+class RandomVideoCompression:
+    """Random codec + bitrate clip degradation
+    (random_degradations.py:408-472). ``params`` carries ``codec`` /
+    ``codec_prob`` / ``bitrate`` (lo, hi) / optional ``prob``; operates on a
+    list of float HWC frames. Gated on PyAV exactly like the reference —
+    in environments without ``av`` construction raises, and callers (the
+    degradation registry) surface that at config-build time rather than
+    mid-epoch."""
+
+    def __init__(self, params: dict):
+        if not _HAS_AV:
+            raise RuntimeError("RandomVideoCompression needs PyAV ('av')")
+        self.params = dict(params)
+
+    def __call__(
+        self, imgs: Sequence[np.ndarray], rng: np.random.Generator
+    ) -> List[np.ndarray]:
+        if rng.uniform() > self.params.get("prob", 1):
+            return list(imgs)
+        codecs = self.params["codec"]
+        probs = self.params.get(
+            "codec_prob", [1.0 / len(codecs)] * len(codecs)
+        )
+        codec = codecs[rng.choice(len(codecs), p=np.asarray(probs))]
+        lo, hi = self.params["bitrate"]
+        return video_compression(imgs, codec, int(rng.integers(lo, hi + 1)))
+
+
+has_av = _HAS_AV
+
+
 class DegradationsWithShuffle:
     """Apply a list of degradation callables in (optionally shuffled) order
     (random_degradations.py:485-545)."""

@@ -7,12 +7,15 @@ import pytest
 
 from pnp_vcve_tpu.data.degradations import (
     DegradationsWithShuffle,
+    RandomVideoCompression,
     anisotropic_gaussian_kernel2d,
     gaussian_kernel2d,
+    has_av,
     jpeg_compression,
     matlab_like_resize,
     random_blur,
     random_noise,
+    video_compression,
 )
 
 
@@ -263,3 +266,24 @@ def test_generation_unpaired_dataset(tmp_path):
     ))
     items = list(ds_t)
     assert len(items) == 2 and items[0]["img_b"].shape == (40, 40, 3)
+
+
+def test_video_compression_gate():
+    """Without PyAV both entry points fail loudly at construction/call time
+    (the reference asserts has_av the same way,
+    random_degradations.py:420); with PyAV the round-trip must preserve
+    shape and stay in [0, 1]."""
+    clip = [np.random.default_rng(i).random((32, 48, 3), np.float32)
+            for i in range(3)]
+    if not has_av:
+        with pytest.raises(RuntimeError):
+            video_compression(clip, "libx264", 10000)
+        with pytest.raises(RuntimeError):
+            RandomVideoCompression(dict(codec=["libx264"], bitrate=[1e4, 1e5]))
+        return
+    out = RandomVideoCompression(dict(
+        codec=["libx264"], codec_prob=[1.0], bitrate=[int(1e4), int(1e5)],
+    ))(clip, np.random.default_rng(0))
+    assert len(out) == len(clip)
+    assert out[0].shape == clip[0].shape
+    assert 0.0 <= min(o.min() for o in out) <= max(o.max() for o in out) <= 1.0

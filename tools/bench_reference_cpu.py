@@ -32,6 +32,9 @@ apply_platform_override()
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--b", type=int, default=1, help="batch size; b>1 "
+                   "amortizes the reference's per-(batch,step) Python loop "
+                   "(iconvsr_ipb_par.py:71-147) differently than b=1")
     p.add_argument("--t", type=int, default=5)
     p.add_argument("--hw", type=int, nargs=2, default=(256, 448))
     p.add_argument("--iters", type=int, default=3)
@@ -43,7 +46,7 @@ def main():
     from tests.oracle.loader import load_ref
 
     torch.manual_seed(0)
-    t, (h, w) = args.t, args.hw
+    b, t, (h, w) = args.b, args.t, args.hw
     rng = np.random.default_rng(0)
 
     mod = load_ref("mmedit.models.backbones.sr_backbones.iconvsr_ipb_par")
@@ -55,20 +58,20 @@ def main():
         sparse_val=False, align_key=True, vsr=False,
     ).eval()
 
-    lrs = torch.rand(1, t, 3, h, w)
-    qps = torch.rand(1, t, 1, 1, 1)
+    lrs = torch.rand(b, t, 3, h, w)
+    qps = torch.rand(b, t, 1, 1, 1)
     slices = torch.tensor([73.0] + [66.0, 80.0] * ((t - 1) // 2 + 1))[:t]
-    slices = slices.view(1, t, 1, 1, 1)
-    mvs = torch.randn(1, t, 4, h, w) * 3
-    base_qps = torch.rand(1, t, 1, 1, 1)
-    par = torch.rand(1, t, 3, h, w)
+    slices = slices.view(1, t, 1, 1, 1).expand(b, t, 1, 1, 1).contiguous()
+    mvs = torch.randn(b, t, 4, h, w) * 3
+    base_qps = torch.rand(b, t, 1, 1, 1)
+    par = torch.rand(b, t, 3, h, w)
 
     with torch.no_grad():
         ref(lrs, qps, slices, mvs, base_qps, par)  # warm
         t0 = time.perf_counter()
         for _ in range(args.iters):
             ref(lrs, qps, slices, mvs, base_qps, par)
-        ref_fps = args.iters * t / (time.perf_counter() - t0)
+        ref_fps = args.iters * b * t / (time.perf_counter() - t0)
 
     import jax
     import jax.numpy as jnp
@@ -89,11 +92,11 @@ def main():
     for _ in range(args.iters):
         out = fwd(params, inp)
     jax.block_until_ready(out)
-    ours_fps = args.iters * t / (time.perf_counter() - t0)
+    ours_fps = args.iters * b * t / (time.perf_counter() - t0)
 
     print(json.dumps({
         "metric": "cpu_same_hardware_frames_per_sec",
-        "shape": [t, h, w],
+        "shape": [b, t, h, w],
         "reference_torch_fps": round(ref_fps, 4),
         "ours_jax_fps": round(ours_fps, 4),
         "speedup_same_hardware": round(ours_fps / ref_fps, 3),
