@@ -109,8 +109,12 @@ def main():
     # search range — the smoke clamps its MVs so the oracle agrees).
     warp_impl = os.environ.get("PNP_BENCH_WARP", "")
     if not warp_impl or not on_tpu:
+        # default = 'pf' (measured 16.60 f/s vs 13.88 block8, r3): the
+        # serving contract (block-constant MVs, |MV| <= 16) matches the
+        # rasterizer-shaped bench inputs; the in-run smoke below verifies
+        # it against the XLA block8 oracle on every bench run.
         warp_impl = (
-            "block8"
+            "pf"
             if os.environ.get("PNP_BENCH_BLOCK_WARP", "1") != "0" and on_tpu
             else "padgather"
         )

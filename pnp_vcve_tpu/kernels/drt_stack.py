@@ -834,10 +834,18 @@ def _head_dma(src_hbm, bi, band, sem, t, th, do_start: bool):
 
 
 def _head_kernel(xpf_hbm, whr_ref, bhr_ref, wlast_ref, blast_ref, o_ref,
-                 bands, hmid, sems, *, th, cols2, wh, c2, h):
+                 bands, hmid, sems, *, th, cols1, cols2, wh, c2, h):
     """Reconstruction head on PF input: y = conv_last(lrelu(conv_hr(x)));
     the +lr residual stays in XLA (keeps lr away from custom-call layout
-    constraints). Out tile ri covers orig rows [ri*th, (ri+1)*th)."""
+    constraints). Out tile ri covers orig rows [ri*th, (ri+1)*th).
+
+    conv_hr computes at width ``cols1`` (656 at 720p), NOT the minimal
+    cols2+2=650: an 8-misaligned width makes every per-tap
+    ``reshape(rows*cols, c2)`` a genuine sublane relayout instead of a
+    relabeling — measured 10.58 ms/frame at width 650 vs the DRT stack
+    block (more math, same structure, aligned widths) at ~1.75 ms
+    (tools/input_conv_bench.py). The 6 extra columns are garbage masked
+    by the same validity select that zeroes the conv 'same' halo."""
     bi = pl.program_id(0)
     ri = pl.program_id(1)
     n_tiles = pl.num_programs(1)
@@ -861,10 +869,10 @@ def _head_kernel(xpf_hbm, whr_ref, bhr_ref, wlast_ref, blast_ref, o_ref,
     # conv_hr + lrelu: hmid local r1 -> orig row ri*th - 1 + r1; hmid col
     # c1 -> orig packed col c1 - 1. Window base: padded col of (c1-1)-1 is
     # c1 + 6.
-    acc = _tap_conv(band, whr_ref[0], rows1, cols2 + 2, c2, row0=0, col0=6)
+    acc = _tap_conv(band, whr_ref[0], rows1, cols1, c2, row0=0, col0=6)
     acc = acc + bhr_ref[0, 0].astype(jnp.float32)
     acc = jnp.where(acc >= 0, acc, 0.1 * acc)
-    acc = acc.reshape(rows1, cols2 + 2, c2)
+    acc = acc.reshape(rows1, cols1, c2)
     # conv 'same' zero-pad semantics: bias+lrelu made the out-of-image
     # positions nonzero — zero them before conv_last consumes the halo
     grow = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0) + ri * th - 1
@@ -915,7 +923,7 @@ def head_pf(xpf, conv_hr_kernel, conv_hr_bias, conv_last_kernel,
     )
 
     kern = functools.partial(
-        _head_kernel, th=th, cols2=cols2, wh=wh, c2=c2, h=h
+        _head_kernel, th=th, cols1=cols1, cols2=cols2, wh=wh, c2=c2, h=h
     )
     out = pl.pallas_call(
         kern,
@@ -934,7 +942,7 @@ def head_pf(xpf, conv_hr_kernel, conv_hr_bias, conv_last_kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, cols2, c_out), dtype),
         scratch_shapes=[
             pltpu.VMEM((2, th + 4, WP, c2), dtype),
-            pltpu.VMEM((th + 2, cols2 + 2, c2), dtype),
+            pltpu.VMEM((th + 2, cols1, c2), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

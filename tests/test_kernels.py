@@ -338,6 +338,15 @@ def test_head_pf_matches_xla(rng):
             np.asarray(got), np.asarray(expected), atol=1e-4, rtol=1e-4
         )
 
+    # multi-tile at the TALL out-tile (h=96 -> th=48, 2 grid steps):
+    # covers the tile-boundary halo and the edge-row masking at th > 8
+    h2 = 96
+    x2 = jnp.asarray(rng.standard_normal((b, h2, w, c)).astype(np.float32))
+    got2 = head_pf(pack_pf(x2, 8), *head, h2, w)
+    np.testing.assert_allclose(
+        np.asarray(got2), np.asarray(_xla_head(x2, head)), atol=1e-4, rtol=1e-4
+    )
+
 
 def test_model_pallas_fused_head_b2(rng):
     """b>=2 routes the reconstruction head through the packed Pallas kernel
