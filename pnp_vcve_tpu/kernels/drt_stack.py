@@ -184,10 +184,14 @@ def _cross_pair(src, rows, width, c):
     return jnp.where(lane < c, rolled[:, 0 : width - 2], rolled[:, 2:width])
 
 
-def _kernel(
+def _kernel_body(
     xpf_hbm, parpf_hbm, w2_ref, b2_ref, pk_ref, w1_ref, b1_ref, g_ref, o_ref,
     bands, parbands, hmid, sems, psems, *, th, c2, h, w, cols1, cols2,
 ):
+    """Shared DRT-block compute: DMA pipeline + both conv stages. Stores
+    the masked block output into ``o_ref`` and RETURNS the bf16 interior
+    tile (th, cols2, c2) so epilogue variants (key-carry select) can reuse
+    it without re-reading ``o_ref``."""
     bi = pl.program_id(0)
     ri = pl.program_id(1)
     n_tiles = pl.num_programs(1)
@@ -258,50 +262,106 @@ def _kernel(
         lane2 >= c
     ).astype(jnp.int32)
     ovalid = (orow >= 0) & (orow < h) & (ocol < w)
+    interior = jnp.where(ovalid, out, 0.0).astype(o_ref.dtype)
     o_ref[0, :, 0:PAD_C] = jnp.zeros((th, PAD_C, c2), o_ref.dtype)
-    o_ref[0, :, PAD_C : PAD_C + cols2] = jnp.where(ovalid, out, 0.0).astype(o_ref.dtype)
+    o_ref[0, :, PAD_C : PAD_C + cols2] = interior
     o_ref[0, :, PAD_C + cols2 :] = jnp.zeros(
         (th, o_ref.shape[2] - PAD_C - cols2, c2), o_ref.dtype
+    )
+    return interior
+
+
+def _kernel(*refs, th, c2, h, w, cols1, cols2):
+    _kernel_body(*refs, th=th, c2=c2, h=h, w=w, cols1=cols1, cols2=cols2)
+
+
+def _kernel_select(
+    xpf_hbm, parpf_hbm, w2_ref, b2_ref, pk_ref, w1_ref, b1_ref, g_ref,
+    lk_ref, kf_ref, o_ref, o2_ref, bands, parbands, hmid, sems, psems,
+    *, th, c2, h, w, cols1, cols2,
+):
+    """Block kernel + folded key-carry select epilogue:
+    ``o2 = where(is_key, out, last_key)`` — the scan's keyframe-carry
+    update (models/pnp_vcve.py) computed while the out tile is still in
+    VMEM. Replaces a full-frame XLA broadcast-select on the PF carry
+    (measured 1.8 ms/frame at 720p) with one pipelined tile read of
+    ``last_key`` and one tile write. ``kf_ref`` is the per-sample is_key
+    flag broadcast to (1, c2) lanes; PF pad rows/cols are zero in both
+    operands, so the epilogue writes zeros there unconditionally."""
+    interior = _kernel_body(
+        xpf_hbm, parpf_hbm, w2_ref, b2_ref, pk_ref, w1_ref, b1_ref, g_ref,
+        o_ref, bands, parbands, hmid, sems, psems,
+        th=th, c2=c2, h=h, w=w, cols1=cols1, cols2=cols2,
+    )
+    is_key = kf_ref[0, 0] > 0.5  # (c2,) identical lanes
+    sel = jnp.where(is_key, interior, lk_ref[0, :, PAD_C : PAD_C + cols2])
+    o2_ref[0, :, 0:PAD_C] = jnp.zeros((th, PAD_C, c2), o2_ref.dtype)
+    o2_ref[0, :, PAD_C : PAD_C + cols2] = sel.astype(o2_ref.dtype)
+    o2_ref[0, :, PAD_C + cols2 :] = jnp.zeros(
+        (th, o2_ref.shape[2] - PAD_C - cols2, c2), o2_ref.dtype
     )
 
 
 def _drt_block_pf(
-    xpf, parpf, w2, b2, pk, w1, b1, g, *, th, h, w, cols1, cols2
+    xpf, parpf, w2, b2, pk, w1, b1, g, *, th, h, w, cols1, cols2,
+    key_select=None,
 ):
+    """One fused DRT block on PF input. ``key_select=(last_key, is_key)``
+    (PF array, (b,) 0/1 floats) additionally returns
+    ``where(is_key, out, last_key)`` — the scan's keyframe-carry update —
+    computed in the kernel epilogue (see _kernel_select)."""
     b, HP, WP, c2 = xpf.shape
-    kernel = functools.partial(
-        _kernel, th=th, c2=c2, h=h, w=w, cols1=cols1, cols2=cols2
+    weight_specs = [
+        pl.BlockSpec((1, 3, 3, c2, c2), lambda bi, ri: (bi, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c2), lambda bi, ri: (bi, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, c2, c2), lambda bi, ri: (bi, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, 3, c2, c2), lambda bi, ri: (bi, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c2), lambda bi, ri: (bi, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c2), lambda bi, ri: (bi, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    tile_spec = pl.BlockSpec((1, th, WP, c2), lambda bi, ri: (bi, ri, 0, 0),
+                             memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((2, th + 4, WP, c2), xpf.dtype),
+        pltpu.VMEM((2, th + 4, WP, parpf.shape[-1]), parpf.dtype),
+        pltpu.VMEM((th + 2, cols1, c2), xpf.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    kw = dict(th=th, c2=c2, h=h, w=w, cols1=cols1, cols2=cols2)
+    if key_select is None:
+        return pl.pallas_call(
+            functools.partial(_kernel, **kw),
+            grid=(b, HP // th),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)] + weight_specs,
+            out_specs=tile_spec,
+            out_shape=jax.ShapeDtypeStruct((b, HP, WP, c2), xpf.dtype),
+            scratch_shapes=scratch,
+            compiler_params=params,
+        )(xpf, parpf, w2, b2, pk, w1, b1, g)
+    lk, kf = key_select
+    kfb = jnp.broadcast_to(
+        kf.astype(jnp.float32).reshape(b, 1, 1), (b, 1, c2)
     )
     return pl.pallas_call(
-        kernel,
+        functools.partial(_kernel_select, **kw),
         grid=(b, HP // th),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 3, 3, c2, c2), lambda bi, ri: (bi, 0, 0, 0, 0),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)] + weight_specs + [
+            tile_spec,
+            pl.BlockSpec((1, 1, c2), lambda bi, ri: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c2), lambda bi, ri: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, c2, c2), lambda bi, ri: (bi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, 3, c2, c2), lambda bi, ri: (bi, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c2), lambda bi, ri: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c2), lambda bi, ri: (bi, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, th, WP, c2), lambda bi, ri: (bi, ri, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, HP, WP, c2), xpf.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, th + 4, WP, c2), xpf.dtype),
-            pltpu.VMEM((2, th + 4, WP, parpf.shape[-1]), parpf.dtype),
-            pltpu.VMEM((th + 2, cols1, c2), xpf.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-    )(xpf, parpf, w2, b2, pk, w1, b1, g)
+        out_specs=[tile_spec, tile_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, HP, WP, c2), xpf.dtype)] * 2,
+        scratch_shapes=scratch,
+        compiler_params=params,
+    )(xpf, parpf, w2, b2, pk, w1, b1, g, lk.astype(xpf.dtype), kfb)
 
 
 def _pack_pk(par_kernel):
@@ -337,18 +397,24 @@ def _block_params_packed(blk, b, c2, dtype):
 
 @functools.partial(jax.jit, static_argnames=("th", "h", "w", "unpack"))
 def drt_stack_packed_from_pf(
-    xpf, par, blocks, h: int, w: int, th: int = 16, unpack: bool = True
+    xpf, par, blocks, h: int, w: int, th: int = 16, unpack: bool = True,
+    key_select=None,
 ):
     """As :func:`drt_stack_packed` but consuming an ALREADY-PF input (e.g.
     from :func:`input_conv_pf`); returns the unpacked (b, h, w, c) result,
-    or the raw PF with ``unpack=False`` (for chaining into head_pf)."""
+    or the raw PF with ``unpack=False`` (for chaining into head_pf).
+
+    ``key_select=(last_key, is_key)`` folds the scan's keyframe-carry
+    update into the LAST block's epilogue and returns
+    ``(out, where(is_key, out, last_key))`` (PF-layout both)."""
     b = xpf.shape[0]
     HP, WP, _, cols1, cols2 = pf_geometry(h, w, th)
     if xpf.shape[1] != HP or xpf.shape[2] != WP:
         raise ValueError(f"PF shape {xpf.shape} != geometry {(HP, WP)}")
     c2 = xpf.shape[3]
     parpf = par_to_pf(par, th).astype(xpf.dtype)
-    for blk in blocks:
+    new_lk = None
+    for i, blk in enumerate(blocks):
         if "w2" in blk:
             # premixed/prepacked (expert mixing hoisted out of the scan)
             w2 = blk["w2"].astype(xpf.dtype)
@@ -356,11 +422,18 @@ def drt_stack_packed_from_pf(
             pk, w1, b1 = _static_params_packed(blk, b, c2, xpf.dtype)
         else:
             w2, b2, pk, w1, b1, g = _block_params_packed(blk, b, c2, xpf.dtype)
-        xpf = _drt_block_pf(
+        last = i == len(blocks) - 1
+        res = _drt_block_pf(
             xpf, parpf, w2, b2, pk, w1, b1, g,
             th=th, h=h, w=w, cols1=cols1, cols2=cols2,
+            key_select=key_select if last else None,
         )
-    return unpack_pf(xpf, h, w) if unpack else xpf
+        if last and key_select is not None:
+            xpf, new_lk = res
+        else:
+            xpf = res
+    out = unpack_pf(xpf, h, w) if unpack else xpf
+    return out if key_select is None else (out, new_lk)
 
 
 @functools.partial(jax.jit, static_argnames=("th",))
@@ -969,6 +1042,124 @@ def _xla_head(x, head):
     y = conv(x, hr_k, hr_b)
     y = jnp.where(y >= 0, y, 0.1 * y).astype(x.dtype)
     return conv(y, last_k, last_b).astype(x.dtype)
+
+
+def make_fused_pipeline_select(th: int, h: int, w: int, cout: int,
+                               gated: bool = False, part_pf=None,
+                               with_head: bool = False):
+    """PF-resident pipeline with the keyframe-carry select folded into the
+    last stack block (see _kernel_select):
+
+      ``f(parts, kernel, bias, par, blocks, head, lk, kf[, align_gate])``
+      -> ``(out_pf[, y], new_lk)`` where ``new_lk = where(kf, out, lk)``.
+
+    ``out_pf``/``new_lk`` are raw PF (this is the PF-resident carry path,
+    pf_out is implied). ``head=None`` when ``with_head=False``. Forward is
+    Pallas; the VJP re-derives through the XLA composition (``kf`` is a
+    0/1 keyframe flag — zero cotangent)."""
+    part_pf = list(part_pf) if part_pf is not None else None
+    pf_in = part_pf is not None and any(part_pf)
+
+    def _fused(parts, kernel, bias, par, blocks, head, lk, kf, align_gate):
+        if align_gate is not None:
+            arrs, specs = _part_specs_for_gate(parts, align_gate, part_pf)
+            flags = _gate_pf_flags(part_pf) if pf_in else None
+        else:
+            arrs, specs = list(parts), None
+            flags = part_pf if pf_in else None
+        xpf = input_conv_pf(
+            arrs, kernel, bias, cout=cout, part_specs=specs, part_pf=flags
+        )
+        ypf, new_lk = drt_stack_packed_from_pf(
+            xpf, par, blocks, h=h, w=w, th=th, unpack=False,
+            key_select=(lk, kf),
+        )
+        if head is None:
+            return ypf, new_lk
+        y = head_pf(ypf, head[0], head[1], head[2], head[3], h, w)
+        return ypf, y, new_lk
+
+    def _compose(parts, kernel, bias, par, blocks, head, lk, kf, align_gate):
+        out = _xla_input_stack_compose(
+            parts, kernel, bias, par, blocks, align_gate,
+            part_pf=part_pf if pf_in else None, h=h, w=w,
+        )
+        opf = pack_pf(out, th=PAD_R)
+        new_lk = jnp.where(
+            kf.astype(jnp.float32).reshape(-1, 1, 1, 1) > 0.5, opf, lk
+        )
+        if head is None:
+            return opf, new_lk
+        return opf, _xla_head(out, head), new_lk
+
+    if not gated:
+
+        @jax.custom_vjp
+        def f(parts, kernel, bias, par, blocks, head, lk, kf):
+            return _fused(parts, kernel, bias, par, blocks, head, lk, kf, None)
+
+        def fwd(parts, kernel, bias, par, blocks, head, lk, kf):
+            return f(parts, kernel, bias, par, blocks, head, lk, kf), (
+                parts, kernel, bias, par, blocks, head, lk, kf,
+            )
+
+        def bwd(res, g):
+            parts, kernel, bias, par, blocks, head, lk, kf = res
+            if with_head:
+                _, vjp = jax.vjp(
+                    lambda p, k, b2, pr, bl, hd, l: _compose(
+                        p, k, b2, pr, bl, hd, l, kf, None
+                    ),
+                    parts, kernel, bias, par, blocks, head, lk,
+                )
+                return vjp(g) + (jnp.zeros_like(kf),)
+            _, vjp = jax.vjp(
+                lambda p, k, b2, pr, bl, l: _compose(
+                    p, k, b2, pr, bl, None, l, kf, None
+                ),
+                parts, kernel, bias, par, blocks, lk,
+            )
+            dp, dk, db, dpr, dbl, dl = vjp(g)
+            return dp, dk, db, dpr, dbl, None, dl, jnp.zeros_like(kf)
+
+        f.defvjp(fwd, bwd)
+        return f
+
+    @jax.custom_vjp
+    def fg(parts, kernel, bias, par, blocks, head, lk, kf, align_gate):
+        return _fused(parts, kernel, bias, par, blocks, head, lk, kf,
+                      align_gate)
+
+    def fwd_g(parts, kernel, bias, par, blocks, head, lk, kf, align_gate):
+        return fg(parts, kernel, bias, par, blocks, head, lk, kf,
+                  align_gate), (
+            parts, kernel, bias, par, blocks, head, lk, kf, align_gate,
+        )
+
+    def bwd_g(res, g):
+        parts, kernel, bias, par, blocks, head, lk, kf, align_gate = res
+        if with_head:
+            _, vjp = jax.vjp(
+                lambda p, k, b2, pr, bl, hd, l: _compose(
+                    p, k, b2, pr, bl, hd, l, kf, align_gate
+                ),
+                parts, kernel, bias, par, blocks, head, lk,
+            )
+            return vjp(g) + (
+                jnp.zeros_like(kf), jnp.zeros_like(align_gate),
+            )
+        _, vjp = jax.vjp(
+            lambda p, k, b2, pr, bl, l: _compose(
+                p, k, b2, pr, bl, None, l, kf, align_gate
+            ),
+            parts, kernel, bias, par, blocks, lk,
+        )
+        dp, dk, db, dpr, dbl, dl = vjp(g)
+        return (dp, dk, db, dpr, dbl, None, dl, jnp.zeros_like(kf),
+                jnp.zeros_like(align_gate))
+
+    fg.defvjp(fwd_g, bwd_g)
+    return fg
 
 
 def make_trainable_input_stack_head(

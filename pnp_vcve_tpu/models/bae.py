@@ -256,6 +256,7 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
         part_pf=None,
         pf_out: bool = False,
         pf_hw=None,
+        key_select=None,
     ) -> jnp.ndarray:
         """``x``: (b,h,w,cin) array, or a SEQUENCE of arrays whose channels
         sum to ``in_channels`` — conv(concat(parts)) is computed as
@@ -284,7 +285,13 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
         output or the previous step's PF carry — no pad/transpose glue);
         ``pf_out=True`` returns the raw PF stack output. ``pf_hw=(h, w)``
         supplies the logical spatial shape (required when part 0 is PF).
-        Only valid on the fused path; a non-fused fall-through raises."""
+        Only valid on the fused path; a non-fused fall-through raises.
+
+        ``key_select=(last_key, is_key)`` (PF array, (b,) flags) folds the
+        scan's keyframe-carry update ``where(is_key, out, last_key)`` into
+        the last stack block's epilogue (kernels/drt_stack.py
+        make_fused_pipeline_select) and appends ``new_last_key`` to the
+        return value. Requires ``pf_out=True`` on the fused path."""
         kernel = self.param(
             "input_conv_kernel",
             torch_conv_default,
@@ -321,6 +328,7 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
             # input_conv_pf) -> chained PF blocks; no XLA conv in a
             # warp-dictated layout (measured ~31 ms/frame at 720p)
             from pnp_vcve_tpu.kernels.drt_stack import (
+                make_fused_pipeline_select,
                 make_trainable_input_stack,
                 make_trainable_input_stack_head,
             )
@@ -351,6 +359,20 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
                 if align_gate is not None
                 else None
             )
+            if key_select is not None:
+                if not pf_out:
+                    raise ValueError("key_select requires pf_out=True")
+                fused = make_fused_pipeline_select(
+                    self.pallas_th, h_, w_, self.out_channels,
+                    gated=gate is not None, part_pf=part_pf,
+                    with_head=head is not None,
+                )
+                args = (
+                    tuple(x), kernel, bias, par, params,
+                    tuple(head) if head is not None else None,
+                    key_select[0], key_select[1],
+                )
+                return fused(*args, gate) if gate is not None else fused(*args)
             if head is not None:
                 fused = make_trainable_input_stack_head(
                     self.pallas_th, h_, w_, self.out_channels,
@@ -366,7 +388,7 @@ class ResidualBlocksWithInputConvDynamicDRT(nn.Module):
             if gate is not None:
                 return fused(tuple(x), kernel, bias, par, params, gate)
             return fused(tuple(x), kernel, bias, par, params)
-        if pf_in or pf_out:
+        if pf_in or pf_out or key_select is not None:
             raise ValueError(
                 "PF-resident parts require the fused Pallas input-stack path "
                 "(use_pallas + one_layer + channel_first + aligned shapes)"

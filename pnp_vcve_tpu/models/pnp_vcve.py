@@ -60,6 +60,20 @@ I_SLICE = 73.0  # ord('I')
 P_SLICE = 80.0  # ord('P')
 
 
+def _fold_key_select() -> bool:
+    """Opt-in (PNP_PF_FOLD_SELECT=1): fold the keyframe-carry select into
+    the last stack block's epilogue (kernels/drt_stack.py _kernel_select)
+    instead of an XLA where on the PF carry. MEASURED SLOWER at 720p/b=1:
+    18.63 -> 17.95 f/s — the last block turns DMA-heavy (last_key tile
+    read + a second tile write ~ +3x its output DMA) and loses more than
+    the 1.8 ms/frame XLA broadcast-select it removes. Kept reachable for
+    shapes where the balance flips (e.g. larger b amortizing weight DMA);
+    the default is the XLA select."""
+    import os
+
+    return os.environ.get("PNP_PF_FOLD_SELECT", "0") == "1"
+
+
 def keyframe_indices(slices: jnp.ndarray):
     """Dense keyframe routing tables from per-frame slice codes.
 
@@ -238,10 +252,15 @@ class _BackwardStep(nn.Module):
             name="resblocks",
         )(feat, par, weights, gamma, align_gate=gate, premixed=premixed,
           part_pf=[False] + [True] * (len(feat) - 1) if pf else None,
-          pf_out=pf, pf_hw=lr.shape[1:3] if pf else None)
+          pf_out=pf, pf_hw=lr.shape[1:3] if pf else None,
+          key_select=(last_key, is_key.astype(jnp.float32))
+          if (pf and _fold_key_select()) else None)
 
-        key_mask = is_key[:, None, None, None]
-        last_key = jnp.where(key_mask, out, last_key)
+        if pf and _fold_key_select():
+            out, last_key = out
+        else:
+            key_mask = is_key[:, None, None, None]
+            last_key = jnp.where(key_mask, out, last_key)
         return (out, last_key, is_key), out
 
 
@@ -321,11 +340,19 @@ class _ForwardStep(nn.Module):
         )(feat, par, weights, gamma, align_gate=gate, head=head,
           premixed=premixed,
           part_pf=[False] + [True] * (len(feat) - 1) if pf else None,
-          pf_out=pf, pf_hw=lr.shape[1:3] if pf else None)
-        out, y_head = res if head is not None else (res, None)
+          pf_out=pf, pf_hw=lr.shape[1:3] if pf else None,
+          key_select=(last_key, is_key.astype(jnp.float32))
+          if (pf and _fold_key_select()) else None)
 
-        key_mask = is_key[:, None, None, None]
-        new_last_key = jnp.where(key_mask, out, last_key)
+        if pf and _fold_key_select():
+            # carry select folded into the stack's last block (see the
+            # backward step); head is mandatory in PF mode so res is
+            # (out_pf, y_head, new_last_key)
+            out, y_head, new_last_key = res
+        else:
+            out, y_head = res if head is not None else (res, None)
+            key_mask = is_key[:, None, None, None]
+            new_last_key = jnp.where(key_mask, out, last_key)
 
         lrelu = lambda v: nn.leaky_relu(v, negative_slope=0.1)  # noqa: E731
         # the reference hardcodes 64-channel heads (iconvsr.py:365-366,

@@ -212,6 +212,47 @@ def test_drt_stack_packed_matches_composition(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-4, rtol=1e-4)
 
 
+def test_drt_stack_key_select_epilogue(rng):
+    """key_select folds where(is_key, out, last_key) into the last block's
+    epilogue (kernels/drt_stack.py _kernel_select): bitwise-equal to the
+    XLA select on the PF carry, per-sample flags, both flag values."""
+    from pnp_vcve_tpu.kernels.drt_stack import (
+        drt_stack_packed_from_pf, pack_pf, pf_geometry,
+    )
+
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    par = jnp.asarray((rng.random((B, H, W, 3)) > 0.5).astype(np.float32) / 255.0)
+    lk = pack_pf(
+        jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32)), 8
+    )
+    blk = dict(
+        dyn_kernels=jnp.asarray(
+            rng.standard_normal((B, 3, 3, C, C)).astype(np.float32) * 0.1
+        ),
+        dyn_biases=jnp.asarray(rng.standard_normal((B, C)).astype(np.float32) * 0.1),
+        par_kernel=jnp.asarray(
+            rng.standard_normal((C, 3, C)).astype(np.float32) * 0.1
+        ),
+        conv1_kernel=jnp.asarray(
+            rng.standard_normal((3, 3, C, C)).astype(np.float32) * 0.1
+        ),
+        conv1_bias=jnp.asarray(rng.standard_normal((C,)).astype(np.float32) * 0.1),
+        gamma=jnp.asarray(rng.random((B, C)).astype(np.float32)),
+    )
+    is_key = jnp.asarray([1.0, 0.0])  # one keyframe, one not (b=2)
+
+    xpf = pack_pf(x, 8)
+    out_ref = drt_stack_packed_from_pf(xpf, par, [blk, blk], h=H, w=W, th=8,
+                                       unpack=False)
+    out, new_lk = drt_stack_packed_from_pf(
+        xpf, par, [blk, blk], h=H, w=W, th=8, unpack=False,
+        key_select=(lk, is_key),
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_ref))
+    expected = jnp.where(is_key.reshape(-1, 1, 1, 1) > 0.5, out_ref, lk)
+    np.testing.assert_array_equal(np.asarray(new_lk), np.asarray(expected))
+
+
 def test_drt_stack_packed_odd_height(rng):
     """h not divisible by th (edge tiles + PF zero maintenance)."""
     from pnp_vcve_tpu.kernels.drt_stack import drt_stack_packed

@@ -76,6 +76,12 @@ def main():
         print(f"[{label:28s}] {t:8.3f} ms", flush=True)
         return t
 
+    # fixed-vs-marginal split: 1-part and 2-part PF-only cases. With the
+    # per-part dot floor ~0.4 ms (9 taps x 5184 rows x 90 steps / 8
+    # rows-per-cycle), a large intercept here means per-call overhead
+    # (pipeline fill, out-write path), not MXU passes.
+    run(lambda z, l, a, b: [(z, True)], C, "1 PF part")
+    run(lambda z, l, a, b: [(z, True), (a, True)], 2 * C, "2 PF parts")
     # a) forward: lr + 3 PF parts (key_warp, prev_out, cur)
     run(lambda z, l, a, b: [(dep(z, l), False), (z, True), (a, True), (b, True)],
         3 + 3 * C, "fwd: lr + 3 PF")
