@@ -76,12 +76,19 @@ def main():
         print(f"[{label:28s}] {t:8.3f} ms", flush=True)
         return t
 
-    # fixed-vs-marginal split: 1-part and 2-part PF-only cases. With the
+    # fixed-vs-marginal split: 1-part and 2-part cases (the kernel needs a
+    # non-PF anchor part to fix h/w, so lr is in all of them). With the
     # per-part dot floor ~0.4 ms (9 taps x 5184 rows x 90 steps / 8
-    # rows-per-cycle), a large intercept here means per-call overhead
-    # (pipeline fill, out-write path), not MXU passes.
-    run(lambda z, l, a, b: [(z, True)], C, "1 PF part")
-    run(lambda z, l, a, b: [(z, True), (a, True)], 2 * C, "2 PF parts")
+    # rows-per-cycle), a large intercept here means per-call overhead.
+    # CAUTION (measured r3): 'lr only' = 2.89 ms here, which suggested the
+    # lr reshape+pad-to-128-lanes prep dominates — but packing lr once per
+    # clip as a narrow PF part made the REAL model SLOWER (18.63 -> 18.27
+    # f/s): this tool's standalone lr carries a (w,c)-tiled HBM layout
+    # whose relayout is far costlier than the model's h-minor scan-xs lr.
+    # Standalone microbench layouts are not the model's layouts.
+    run(lambda z, l, a, b: [(dep(z, l), False)], 3, "lr only")
+    run(lambda z, l, a, b: [(dep(z, l), False), (z, True)], 3 + C,
+        "lr + 1 PF")
     # a) forward: lr + 3 PF parts (key_warp, prev_out, cur)
     run(lambda z, l, a, b: [(dep(z, l), False), (z, True), (a, True), (b, True)],
         3 + 3 * C, "fwd: lr + 3 PF")
