@@ -135,7 +135,7 @@ NSLOT = 8  # circular chunk slots: a band spans 7 chunks, +1 prefetch
 
 
 def _kernel(
-    ssame_ref, sx_ref, vm_ref, zpf_hbm, o_ref, chunks, zmix, hband, sems,
+    sm_ref, vm_ref, zpf_hbm, o_ref, chunks, zmix, hband, rhs, sems,
     *, nby, wh, tile, nt, kw, wb, hp, wp, stages=("swap", "h", "v"),
 ):
     """Rolling-chunk band pipeline: the source band of out band t is PF
@@ -235,11 +235,16 @@ def _kernel(
             swap_chunk(t + 4)
 
         if "h" in stages:
-            # ---- H pass: selection dots, R=4 band rows lane-batched per
-            # dot (same S for every row of a band; (tile, kw) @ (kw, 4*128)
-            # amortizes MXU pipeline fill ~4x vs per-row dots — measured
-            # 4.3 ms -> see tools/warp_pf_stages.py)
-            R = 4  # BAND % R == 0
+            # ---- H pass: ONE merged selection dot per (tile, row-group):
+            # S_m = [S_same | S_x] (lanes [0:kw] and [kw:2kw], built in the
+            # wrapper) against RHS = [Z window ; Zmix window] stacked along
+            # K — 3 K-passes instead of the 2-dot form's 2+2 AND the S
+            # weights stay MXU-resident across a tile's whole row loop
+            # (alternating ss/sx dots reloaded them every dot). R=8 band
+            # rows lane-batched per dot (was 4): half the loop/dot count,
+            # same MXU row volume. History: per-row dots 4.3 ms -> R=4
+            # two-dot 3.15 ms -> this form (tools/warp_pf_stages.py).
+            R = 8  # BAND % R == 0
 
             def rowslc(buf, r, c0, cn):
                 gg = 8 * t + 4 + r
@@ -251,28 +256,21 @@ def _kernel(
 
             for tj in range(nt):
                 ws = tj * tile
-                ss = ssame_ref[0, 0, tj, :, 0:kw]
-                sx = sx_ref[0, 0, tj, :, 0:kw]
+                sm = sm_ref[0, 0, tj, :, 0 : 2 * kw]
 
-                def h_body(g, _, ws=ws, ss=ss, sx=sx):
+                def h_body(g, _, ws=ws, sm=sm):
                     r = g * R
-                    bwin = jnp.concatenate(
-                        [rowslc(chunks, r + i, ws, kw) for i in range(R)],
-                        axis=-1,
-                    )
-                    zwin = jnp.concatenate(
-                        [rowslc(zmix, r + i, ws, kw) for i in range(R)],
-                        axis=-1,
-                    )
-                    t1 = jax.lax.dot_general(
-                        ss, bwin, (((1,), (0,)), ((), ())),
+                    for i in range(R):
+                        rhs[pl.ds(0, kw), i * 128 : (i + 1) * 128] = rowslc(
+                            chunks, r + i, ws, kw
+                        )
+                        rhs[pl.ds(kw, kw), i * 128 : (i + 1) * 128] = rowslc(
+                            zmix, r + i, ws, kw
+                        )
+                    t12 = jax.lax.dot_general(
+                        sm, rhs[...], (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )
-                    t2 = jax.lax.dot_general(
-                        sx, zwin, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    t12 = (t1 + t2).astype(dtype)
+                    ).astype(dtype)
                     for i in range(R):
                         hband[r + i, ws : ws + tile] = t12[
                             :, i * 128 : (i + 1) * 128
@@ -317,15 +315,23 @@ def warp_pf(zpf, s_same, s_x, vm, h: int, w: int, tile: int = 128,
         _kernel, nby=nby, wh=wh, tile=tile, nt=nt, kw=kw, wb=wb, hp=hp, wp=wp,
         stages=stages,
     )
+    # merged selection table [S_same | S_x] at lanes [0:kw] / [kw:2kw]
+    # (kernel H-pass docstring); kwp2 keeps the stored table lane-padded
+    kwp2 = _round_up(2 * kw, 128)
+    s_m = jnp.concatenate(
+        [
+            s_same.reshape(b, nby, nt, tile, kwp)[..., :kw],
+            s_x.reshape(b, nby, nt, tile, kwp)[..., :kw],
+        ],
+        axis=-1,
+    )
+    s_m = jnp.pad(s_m, ((0, 0),) * 4 + ((0, kwp2 - 2 * kw),)).astype(dtype)
     cl = lambda r: jnp.clip(r - 1, 0, nby - 1)
     return pl.pallas_call(
         kern,
         grid=(b, nby + 2),
         in_specs=[
-            pl.BlockSpec((1, 1, nt, tile, kwp),
-                         lambda bi, r: (bi, cl(r), 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nt, tile, kwp),
+            pl.BlockSpec((1, 1, nt, tile, kwp2),
                          lambda bi, r: (bi, cl(r), 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, wh, 128), lambda bi, r: (bi, cl(r), 0, 0),
@@ -339,14 +345,14 @@ def warp_pf(zpf, s_same, s_x, vm, h: int, w: int, tile: int = 128,
             pltpu.VMEM((NSLOT, 8, wb, 128), dtype),   # rolling chunks
             pltpu.VMEM((NSLOT, 8, wb, 128), dtype),   # rolling zmix
             pltpu.VMEM((BAND, wh, 128), dtype),       # hband
+            pltpu.VMEM((2 * kw, 8 * 128), dtype),     # merged H rhs
             pltpu.SemaphoreType.DMA((NSLOT,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(
-        s_same.reshape(b, nby, nt, tile, kwp).astype(dtype),
-        s_x.reshape(b, nby, nt, tile, kwp).astype(dtype),
+        s_m,
         vm.reshape(b, nby, wh, 128).astype(dtype),
         zpf,
     )
