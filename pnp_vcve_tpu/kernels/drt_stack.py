@@ -556,16 +556,20 @@ def _input_conv_kernel(
                 else:
                     d.wait()
 
-    slot = jax.lax.rem(ri, 2)
-    nxt = jax.lax.rem(ri + 1, 2)
+    # 4-slot bands, prefetch depth 3 (same rationale as _head_kernel):
+    # the per-step compute is too short to hide one DMA round trip
+    slot = jax.lax.rem(ri, 4)
 
     @pl.when(ri == 1)
     def _():
-        band_ops(1, slot, True)
+        for k in range(3):
+            @pl.when(1 + k < n - 1)
+            def _(k=k):
+                band_ops(jnp.int32(1 + k), (1 + k) % 4, True)
 
-    @pl.when((ri >= 1) & (ri + 1 < n - 1))
+    @pl.when((ri >= 1) & (ri + 3 < n - 1))
     def _():
-        band_ops(ri + 1, nxt, True)
+        band_ops(ri + 3, jax.lax.rem(ri + 3, 4), True)
 
     @pl.when((ri > 0) & (ri < n - 1))
     def _():
@@ -701,10 +705,10 @@ def input_conv_pf(parts, kernel, bias, cout: int = 64, part_specs=None,
         out_shape=jax.ShapeDtypeStruct((b, HP, WP, c2), dtype),
         scratch_shapes=[
             pltpu.VMEM(
-                (2, th + 2, cols2 + 16, max(2 * logical_c(p, f), 128)), dtype
+                (4, th + 2, cols2 + 16, max(2 * logical_c(p, f), 128)), dtype
             )
             for p, f in zip(parts, part_pf)
-        ] + [pltpu.SemaphoreType.DMA((2, len(parts)))],
+        ] + [pltpu.SemaphoreType.DMA((4, len(parts)))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -894,6 +898,9 @@ def make_trainable_input_stack(th: int, h: int, w: int, cout: int,
     return fg
 
 
+HEAD_NSLOT = 4  # head band slots: prefetch depth 3 (see _head_kernel)
+
+
 def _head_dma(src_hbm, bi, band, sem, t, th, do_start: bool):
     # band: PF rows [t*th + PAD_R - 2, + th + 4) — always inside [0, HP)
     # because the PF interior pad rows cover the 2-row halo on both sides.
@@ -922,16 +929,32 @@ def _head_kernel(xpf_hbm, whr_ref, bhr_ref, wlast_ref, blast_ref, o_ref,
     bi = pl.program_id(0)
     ri = pl.program_id(1)
     n_tiles = pl.num_programs(1)
-    slot = jax.lax.rem(ri, 2)
-    nxt = jax.lax.rem(ri + 1, 2)
+    slot = jax.lax.rem(ri, HEAD_NSLOT)
 
+    # prefetch depth HEAD_NSLOT-1: at ~1.5 ms of MXU math across 90 grid
+    # steps the per-step compute (~17 us) cannot hide the HBM DMA
+    # issue->signal latency, so depth-1 double buffering stalls every
+    # step; issuing HEAD_NSLOT-1 tiles ahead overlaps several in-flight
+    # bands instead
     @pl.when(ri == 0)
     def _():
-        _head_dma(xpf_hbm, bi, bands.at[0], sems.at[0], 0, th, True)
+        for k in range(HEAD_NSLOT - 1):
+            if k == 0:
+                _head_dma(xpf_hbm, bi, bands.at[0], sems.at[0], 0, th, True)
+            else:
+                @pl.when(k < n_tiles)
+                def _(k=k):
+                    _head_dma(
+                        xpf_hbm, bi, bands.at[k], sems.at[k], k, th, True
+                    )
 
-    @pl.when(ri + 1 < n_tiles)
+    @pl.when(ri + HEAD_NSLOT - 1 < n_tiles)
     def _():
-        _head_dma(xpf_hbm, bi, bands.at[nxt], sems.at[nxt], ri + 1, th, True)
+        nxt = jax.lax.rem(ri + HEAD_NSLOT - 1, HEAD_NSLOT)
+        _head_dma(
+            xpf_hbm, bi, bands.at[nxt], sems.at[nxt],
+            ri + HEAD_NSLOT - 1, th, True,
+        )
 
     _head_dma(xpf_hbm, bi, bands.at[slot], sems.at[slot], ri, th, False)
     band = bands.at[slot]
@@ -1014,9 +1037,9 @@ def head_pf(xpf, conv_hr_kernel, conv_hr_bias, conv_last_kernel,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, cols2, c_out), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 4, WP, c2), dtype),
+            pltpu.VMEM((HEAD_NSLOT, th + 4, WP, c2), dtype),
             pltpu.VMEM((th + 2, cols1, c2), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((HEAD_NSLOT,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

@@ -131,7 +131,7 @@ def build_warp_tables(flow: jnp.ndarray, h: int, w: int, tile: int = 128):
     return s_same, s_x, vm
 
 
-NSLOT = 8  # circular chunk slots: a band spans 7 chunks, +1 prefetch
+NSLOT = 10  # circular chunk slots: a band spans 7 chunks, +3 prefetch depth
 
 
 def _kernel(
@@ -181,14 +181,14 @@ def _kernel(
         chunks[:, :, 16 + wp :] = jnp.zeros(
             (NSLOT, 8, wb - 16 - wp, 128), dtype
         )
-        for k in range(-2, 5):  # band 0's chunks
+        for k in range(-2, 7):  # band 0's chunks + 2 bands of prefetch
             issue_chunk(jnp.int32(k), True)
 
     t = rp - 1
 
     @pl.when((rp >= 1) & (rp < nby))
     def _():
-        issue_chunk(t + 5, True)  # prefetch for band t+1
+        issue_chunk(t + 7, True)  # prefetch for band t+3 (3-deep)
 
     @pl.when((rp == 0) | (rp == nby + 1))
     def _():
@@ -247,9 +247,10 @@ def _kernel(
             R = 8  # BAND % R == 0
 
             def rowslc(buf, r, c0, cn):
+                # hband row r <-> PF row gg - 16 <-> chunk gg//8 - 2
                 gg = 8 * t + 4 + r
                 return buf[
-                    jax.lax.rem(gg // 8 + 6, NSLOT),
+                    jax.lax.rem(gg // 8 - 2 + NSLOT, NSLOT),
                     jax.lax.rem(gg, 8),
                     pl.ds(c0, cn),
                 ]
