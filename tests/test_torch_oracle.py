@@ -86,6 +86,27 @@ def test_flagship_matches_reference_code(align_key):
     np.testing.assert_allclose(ours, expected, atol=2e-4, rtol=1e-4)
 
 
+def test_flagship_ipb_config_matches_reference_code():
+    """The IPB config (configs/HR_davis_LR_128x128_IPB.py,
+    replace_qp_withIPB=True in the reference's loading_ipb.py:120) feeds the
+    RAW ord(slice) codes (66/73/80) as the QP channel instead of [0,1]
+    values. Same model class — but the large-magnitude QP input regime
+    exercises different numerics through the CAA predictor, so parity under
+    it is asserted separately."""
+    gen = _ref_generator(seed=6)
+    lrs, _, slices, mvs, base_qps, par = _inputs(seed=7)
+    qps = slices.clone()  # replace_qp_withIPB: qp = ord(slice), raw
+    inputs = (lrs, qps, slices, mvs, base_qps, par)
+    with torch.no_grad():
+        expected = gen(*inputs).numpy()
+
+    params = _convert(gen)
+    model = PnPVCVE(mid_channels=C, num_blocks=NB, num_experts=K, remat=False)
+    ours = np.asarray(model.apply({"params": params}, **_to_ours(*inputs)))
+    ours = np.moveaxis(ours, -1, 2)
+    np.testing.assert_allclose(ours, expected, atol=5e-4, rtol=1e-4)
+
+
 def test_flagship_vsr_matches_reference_code():
     gen = _ref_generator(vsr=True)
     inputs = _inputs(seed=2)
