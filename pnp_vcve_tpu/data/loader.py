@@ -66,7 +66,10 @@ class PrefetchLoader:
         self.source = source
         self.batch_size = batch_size
         self.seed = seed
-        self.num_threads = num_threads
+        # workers_per_gpu=0 means synchronous loading in the reference's
+        # torch DataLoader; with a threaded prefetcher that maps to ONE
+        # worker thread (0 threads would deadlock __next__ forever)
+        self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
         self.sharding = sharding
         self._step = start_step

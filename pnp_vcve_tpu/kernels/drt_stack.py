@@ -465,14 +465,20 @@ def drt_stack_packed(x, par, blocks, th: int = 16):
 
 
 def _input_conv_kernel(
-    *refs, th, cols2, wh, n_parts, h, pf_flags=None,
+    *refs, th, cols2, wh, n_parts, h, pf_flags=None, tps=1,
 ):
     """Packed fused input conv: PF out tile = lrelu(sum_p conv3x3(part_p)).
 
     Tiling contract (asserted by the wrapper): th == PAD_R == 8 and
-    h % 8 == 0, so PF out tile ri covers orig rows [(ri-1)*8, ri*8) — tiles
+    h % 8 == 0, so PF out tile t covers orig rows [(t-1)*8, t*8) — tiles
     0 and n-1 are pure pad (written as zeros), tile 1 / n-2 zero-fill one
     context row, everything else DMAs th+2 full rows.
+
+    ``tps`` = th-tiles per GRID STEP (2 when the tile count is even): the
+    per-grid-step fixed cost (~15 us of scalar/semaphore work) rivals the
+    per-tile tap dots (~15-30 us, tools/input_conv_bench.py), so halving
+    the step count dilutes it 2x. All tile indexing stays in th units;
+    only the out block and the prefetch schedule see ``tps``.
 
     ``pf_flags[p]`` marks part p as ALREADY in PF layout (b, HP, WP, 2c):
     its context band is one full-width row DMA at PF rows
@@ -488,12 +494,20 @@ def _input_conv_kernel(
 
     bi = pl.program_id(0)
     ri = pl.program_id(1)
-    n = pl.num_programs(1)
+    n = pl.num_programs(1) * tps  # total th-tiles
     c2 = o_ref.shape[3]
 
-    @pl.when((ri == 0) | (ri == n - 1))
+    @pl.when(ri == 0)
     def _():
-        o_ref[0] = jnp.zeros_like(o_ref[0])
+        # side context columns no DMA ever writes (left 8 for aligned
+        # offsets; right >= wh): zero ONCE for all slots of the non-PF
+        # parts (PF-part DMAs rewrite the full band width)
+        for p in range(n_parts):
+            if not (pf_flags and pf_flags[p]):
+                bands[p][:, :, 0:8] = jnp.zeros_like(bands[p][:, :, 0:8])
+                bands[p][:, :, 8 + wh :] = jnp.zeros_like(
+                    bands[p][:, :, 8 + wh :]
+                )
 
     def band_ops(t, slot, do_start: bool):
         """DMA the (th+2)-row context band of every part for compute-tile t
@@ -556,51 +570,80 @@ def _input_conv_kernel(
                 else:
                     d.wait()
 
-    # 4-slot bands, prefetch depth 3 (same rationale as _head_kernel):
-    # the per-step compute is too short to hide one DMA round trip
-    slot = jax.lax.rem(ri, 4)
+    def compute_tile(t, off):
+        """Compute th-tile t into o_ref rows [off, off+th)."""
 
-    @pl.when(ri == 1)
-    def _():
-        for k in range(3):
-            @pl.when(1 + k < n - 1)
-            def _(k=k):
-                band_ops(jnp.int32(1 + k), (1 + k) % 4, True)
+        @pl.when((t == 0) | (t == n - 1))
+        def _():
+            o_ref[0, off : off + th] = jnp.zeros(
+                (th,) + o_ref.shape[2:], o_ref.dtype
+            )
 
-    @pl.when((ri >= 1) & (ri + 3 < n - 1))
-    def _():
-        band_ops(ri + 3, jax.lax.rem(ri + 3, 4), True)
+        @pl.when((t > 0) & (t < n - 1))
+        def _():
+            band_ops(t, jax.lax.rem(t, 4), False)
 
-    @pl.when((ri > 0) & (ri < n - 1))
-    def _():
-        band_ops(ri, slot, False)
+            acc = jnp.zeros((th * cols2, c2), jnp.float32)
+            for p in range(n_parts):
+                band = bands[p].at[jax.lax.rem(t, 4)]
+                for dy in range(3):
+                    for k in range(3):
+                        # band col of orig packed col j is j + 8; window
+                        # cols for out pair j2 are j2-1..j2+1 -> offset 7
+                        win = band[
+                            dy : dy + th, k + 7 : k + 7 + cols2
+                        ].reshape(th * cols2, band.shape[2])
+                        acc = acc + jnp.dot(
+                            win, w_refs[p][0, dy, k],
+                            preferred_element_type=jnp.float32,
+                        )
+            acc = acc + b_ref[0, 0].astype(jnp.float32)
+            acc = jnp.where(acc >= 0, acc, 0.1 * acc)  # leaky_relu(0.1)
+            acc = acc.reshape(th, cols2, c2).astype(o_ref.dtype)
+            o_ref[0, off : off + th, 0:PAD_C] = jnp.zeros(
+                (th, PAD_C, c2), o_ref.dtype
+            )
+            o_ref[0, off : off + th, PAD_C : PAD_C + cols2] = acc
+            o_ref[0, off : off + th, PAD_C + cols2 :] = jnp.zeros(
+                (th, o_ref.shape[2] - PAD_C - cols2, c2), o_ref.dtype
+            )
 
-        acc = jnp.zeros((th * cols2, c2), jnp.float32)
-        for p in range(n_parts):
-            band = bands[p].at[slot]
-            # zero the context columns the DMA never writes (8 left cols
-            # for sublane-aligned DMA offsets; right cols >= wh)
-            band[:, 0:8] = jnp.zeros_like(band[:, 0:8])
-            band[:, 8 + wh :] = jnp.zeros_like(band[:, 8 + wh :])
-            for dy in range(3):
-                for k in range(3):
-                    # band col of orig packed col j is j + 8; window cols
-                    # for output pair j2 are j2-1..j2+1 -> base offset 7
-                    win = band[dy : dy + th, k + 7 : k + 7 + cols2].reshape(
-                        th * cols2, band.shape[2]
-                    )
-                    acc = acc + jnp.dot(
-                        win, w_refs[p][0, dy, k],
-                        preferred_element_type=jnp.float32,
-                    )
-        acc = acc + b_ref[0, 0].astype(jnp.float32)
-        acc = jnp.where(acc >= 0, acc, 0.1 * acc)  # leaky_relu(0.1)
-        acc = acc.reshape(th, cols2, c2).astype(o_ref.dtype)
-        o_ref[0, :, 0:PAD_C] = jnp.zeros((th, PAD_C, c2), o_ref.dtype)
-        o_ref[0, :, PAD_C : PAD_C + cols2] = acc
-        o_ref[0, :, PAD_C + cols2 :] = jnp.zeros(
-            (th, o_ref.shape[2] - PAD_C - cols2, c2), o_ref.dtype
-        )
+    if tps == 1:
+        # 4-slot bands, prefetch depth 3 (same rationale as _head_kernel):
+        # the per-step compute is too short to hide one DMA round trip
+        @pl.when(ri == 1)
+        def _():
+            for k in range(3):
+                @pl.when(1 + k < n - 1)
+                def _(k=k):
+                    band_ops(jnp.int32(1 + k), (1 + k) % 4, True)
+
+        @pl.when((ri >= 1) & (ri + 3 < n - 1))
+        def _():
+            band_ops(ri + 3, jax.lax.rem(ri + 3, 4), True)
+
+        compute_tile(ri, 0)
+    else:
+        # tps == 2: step ri covers tiles (2ri, 2ri+1); prefetch one step
+        # (= two tiles) ahead into the other slot pair
+        @pl.when(ri == 0)
+        def _():
+            for k in range(1, 4):
+                @pl.when(k < n - 1)
+                def _(k=k):
+                    band_ops(jnp.int32(k), k % 4, True)
+
+        @pl.when(ri >= 1)
+        def _():
+            for d in range(2):
+                t = 2 * ri + 2 + d
+
+                @pl.when(t < n - 1)
+                def _(t=t):
+                    band_ops(t, jax.lax.rem(t, 4), True)
+
+        compute_tile(2 * ri, 0)
+        compute_tile(2 * ri + 1, th)
 
 
 def input_conv_pf(parts, kernel, bias, cout: int = 64, part_specs=None,
@@ -657,7 +700,11 @@ def input_conv_pf(parts, kernel, bias, cout: int = 64, part_specs=None,
 
     packed_parts = []
     w_parts = []
-    for part, (off, gain), is_pf in zip(parts, part_specs, part_pf):
+    for part, spec, is_pf in zip(parts, part_specs, part_pf):
+        # a spec may be a LIST of (offset, gain) pairs: one part feeding
+        # several kernel slices rides a SUMMED gained kernel (conv is
+        # linear in the kernel) — see _part_specs_for_gate
+        spec = spec if isinstance(spec, list) else [spec]
         cp = logical_c(part, is_pf)
         if is_pf:
             if part.shape != (b, HP, WP, 128):
@@ -667,27 +714,31 @@ def input_conv_pf(parts, kernel, bias, cout: int = 64, part_specs=None,
             pk = part
         else:
             pk = part.reshape(b, h, wh, 2 * cp)
-        kp = pack_conv3x3_kernel_per_tap(
-            kernel[:, :, off : off + cp, :].astype(dtype)
-        )  # (3, 3, 2cp, 2cout)
+        kp = None
+        for off, gain in spec:
+            k_i = pack_conv3x3_kernel_per_tap(
+                kernel[:, :, off : off + cp, :].astype(dtype)
+            )  # (3, 3, 2cp, 2cout)
+            if 2 * cp < 128:
+                # Mosaic DMA slices must be lane-aligned (128): pad narrow
+                # parts (e.g. the 3-channel lr) with zero lanes + zero
+                # kernel rows — identical math
+                k_i = jnp.pad(k_i, ((0, 0), (0, 0), (0, 128 - 2 * cp), (0, 0)))
+            k_i = jnp.broadcast_to(k_i[None], (b,) + k_i.shape)
+            if gain is not None:
+                k_i = k_i * gain.astype(dtype)[:, None, None, None, None]
+            kp = k_i if kp is None else kp + k_i
         if 2 * cp < 128:
-            # Mosaic DMA slices must be lane-aligned (128): pad narrow
-            # parts (e.g. the 3-channel lr) with zero lanes + zero kernel
-            # rows — identical math
-            pad = 128 - 2 * cp
-            pk = jnp.pad(pk, ((0, 0), (0, 0), (0, 0), (0, pad)))
-            kp = jnp.pad(kp, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        kp = jnp.broadcast_to(kp[None], (b,) + kp.shape)
-        if gain is not None:
-            kp = kp * gain.astype(dtype)[:, None, None, None, None]
+            pk = jnp.pad(pk, ((0, 0), (0, 0), (0, 0), (0, 128 - 2 * cp)))
         packed_parts.append(pk)
         w_parts.append(kp)
     b_packed = jnp.concatenate([bias, bias]).reshape(1, 1, c2).astype(jnp.float32)
     b_packed = jnp.broadcast_to(b_packed, (b, 1, c2))
 
+    tps = 2 if (HP // th) % 2 == 0 else 1
     kern = functools.partial(
         _input_conv_kernel, th=th, cols2=cols2, wh=wh,
-        n_parts=len(parts), h=h, pf_flags=tuple(part_pf),
+        n_parts=len(parts), h=h, pf_flags=tuple(part_pf), tps=tps,
     )
     # per-sample kernels (gain-gated parts need them; ungated are broadcast)
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * len(parts) + [
@@ -698,10 +749,12 @@ def input_conv_pf(parts, kernel, bias, cout: int = 64, part_specs=None,
 
     return pl.pallas_call(
         kern,
-        grid=(b, HP // th),
+        grid=(b, HP // (th * tps)),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, th, WP, c2), lambda bi, ri: (bi, ri, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, th * tps, WP, c2), lambda bi, ri: (bi, ri, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
         out_shape=jax.ShapeDtypeStruct((b, HP, WP, c2), dtype),
         scratch_shapes=[
             pltpu.VMEM(
@@ -780,8 +833,17 @@ def _part_specs_for_gate(parts, align_gate, part_pf=None):
     lr, kw, nb = parts[0], parts[1], parts[2]
     c_lr, c_kw = lc[0], lc[1]
     g = align_gate.astype(jnp.float32)
-    specs = [(0, None), (c_lr, None), (c_lr + c_kw, g), (c_lr + c_kw, 1.0 - g)]
-    arrs = [lr, kw, kw, nb]
+    # kw's two roles — its own kernel slice AND the gated neighbor slice —
+    # ride ONE part with a SUMMED gained kernel (conv is linear in the
+    # kernel: conv(kw, K_kw) + conv(kw, g*K_nb) == conv(kw, K_kw + g*K_nb)),
+    # so the kernel runs 9 fewer tap dots and one fewer band-DMA chain per
+    # conv than the 4-part form.
+    specs = [
+        (0, None),
+        [(c_lr, None), (c_lr + c_kw, g)],
+        (c_lr + c_kw, 1.0 - g),
+    ]
+    arrs = [lr, kw, nb]
     off = c_lr + c_kw + lc[2]
     for r, cr in zip(parts[3:], lc[3:]):
         arrs.append(r)
@@ -791,10 +853,9 @@ def _part_specs_for_gate(parts, align_gate, part_pf=None):
 
 
 def _gate_pf_flags(part_pf):
-    """part_pf for the (lr, kw, kw, nb, *rest) arrs _part_specs_for_gate
-    builds from (lr, kw, nb, *rest) parts."""
-    p = list(part_pf)
-    return [p[0], p[1], p[1], p[2]] + p[3:]
+    """part_pf for the (lr, kw, nb, *rest) arrs of _part_specs_for_gate
+    (1:1 with the parts since the gated kw rides a summed kernel)."""
+    return list(part_pf)
 
 
 def _xla_input_stack_compose(parts, kernel, bias, par, blocks, align_gate=None,
@@ -1001,8 +1062,12 @@ def head_pf(xpf, conv_hr_kernel, conv_hr_bias, conv_last_kernel,
     WITHOUT the +lr residual (added by the caller). Returns (b, h, w, 3).
     """
     b, HP, WP, c2 = xpf.shape
-    th = PAD_R
-    _, _, wh, cols1, cols2 = pf_geometry(h, w, th)
+    # th=16 when aligned: the head's per-grid-step overhead (~27 us against
+    # ~18 us of tap dots at th=8, tools/input_conv_bench.py) halves with
+    # half the steps; the kernel + _head_dma are th-generic (the PF pad
+    # ring keeps every band in-bounds for any th | h).
+    th = 16 if h % 16 == 0 else PAD_R
+    _, _, wh, cols1, cols2 = pf_geometry(h, w, PAD_R)
     if cols2 != wh or h % th:
         raise ValueError(f"need aligned geometry, got {h}x{w}")
     dtype = xpf.dtype

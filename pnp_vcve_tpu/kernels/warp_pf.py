@@ -51,7 +51,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["build_warp_tables", "warp_pf", "flow_warp_pf", "warp_pf_geometry"]
+__all__ = [
+    "build_warp_tables", "build_warp_tables_compact", "warp_pf",
+    "warp_pf_compact", "flow_warp_pf", "warp_pf_geometry",
+]
 
 BAND = 48      # source rows per 8-row out band: 8 + 2*20 (|dy|<=16 + taps)
 PAD_Y = 20     # band starts 20 orig rows above the out band
@@ -131,13 +134,78 @@ def build_warp_tables(flow: jnp.ndarray, h: int, w: int, tile: int = 128):
     return s_same, s_x, vm
 
 
+def build_warp_tables_compact(flow: jnp.ndarray, h: int, w: int, tile: int = 128):
+    """Compact per-pair selection table for the in-kernel one-hot build.
+
+    The dense S/vm tables of :func:`build_warp_tables` carry <= 2 nonzeros
+    per row; building them in XLA and streaming them into the kernel costs
+    ~60 MB of HBM writes+reads per 720p frame (xplane:
+    broadcast_select/pad fusions). This emits only the nonzero structure —
+    8 f32 lanes per output pair — and :func:`warp_pf_compact` expands the
+    one-hot rows on the VPU inside the kernel, where they are consumed.
+
+    Returns:
+      tbl: (b, nby, wh, 8) f32 = [m_same, val_same, m_x, val_x,
+            dloc, wy0, wy1, 0] per out pair (column indices are exact
+            small ints stored as f32; see the S/vm derivation in
+            :func:`build_warp_tables`).
+    """
+    b = flow.shape[0]
+    wh, _, _, _, _, _, _ = warp_pf_geometry(h, w, tile)
+    nby = h // 8
+
+    fb = flow[:, ::8, ::8].astype(jnp.float32)  # (b, nby, nbx, 2)
+    fx = jnp.clip(fb[..., 0], -MAX_MV, MAX_MV)
+    fy = jnp.clip(fb[..., 1], -MAX_MV, MAX_MV)
+    dx = jnp.floor(fx)
+    wx = fx - dx
+    dy = jnp.floor(fy)
+    wy = fy - dy
+
+    dxi = dx.astype(jnp.int32)
+    delta = jnp.floor_divide(dxi, 2)
+    odd = dxi - 2 * delta
+
+    rep = lambda a: jnp.repeat(a, 4, axis=-1)  # (b, nby, wh)
+    delta_p, odd_p = rep(delta), rep(odd)
+    wx0_p, wx1_p = rep(1.0 - wx), rep(wx)
+
+    k_local = (jnp.arange(wh, dtype=jnp.int32) % tile).reshape(1, 1, wh)
+    m_x = k_local + delta_p + BOFF
+    m_same = m_x + odd_p
+    val_same = jnp.where(odd_p == 1, wx1_p, wx0_p)
+    val_x = jnp.where(odd_p == 1, wx0_p, wx1_p)
+
+    dloc = rep(dy.astype(jnp.int32)) + PAD_Y
+    wy0_p, wy1_p = rep(1.0 - wy), rep(wy)
+    return jnp.stack(
+        [
+            m_same.astype(jnp.float32), val_same,
+            m_x.astype(jnp.float32), val_x,
+            dloc.astype(jnp.float32), wy0_p, wy1_p,
+            jnp.zeros_like(val_x),
+        ],
+        axis=-1,
+    )
+
+
 NSLOT = 10  # circular chunk slots: a band spans 7 chunks, +3 prefetch depth
 
 
 def _kernel(
-    sm_ref, vm_ref, zpf_hbm, o_ref, chunks, zmix, hband, rhs, sems,
-    *, nby, wh, tile, nt, kw, wb, hp, wp, stages=("swap", "h", "v"),
+    *refs,
+    nby, wh, tile, nt, kw, wb, hp, wp, stages=("swap", "h", "v"),
+    compact=False,
 ):
+    # compact=True: ONE (1,1,wh,8) compact-table ref replaces the dense
+    # (sm, vm) pair; one-hot selection rows are built on the VPU right
+    # where they are consumed (build_warp_tables_compact docstring).
+    if compact:
+        tbl_ref, zpf_hbm, o_ref, chunks, zmix, hband, rhs, sems = refs
+        sm_ref = vm_ref = None
+    else:
+        sm_ref, vm_ref, zpf_hbm, o_ref, chunks, zmix, hband, rhs, sems = refs
+        tbl_ref = None
     """Rolling-chunk band pipeline: the source band of out band t is PF
     rows [8t-12, 8t+36) = PF-aligned 8-row chunks t-2..t+4; consecutive
     bands share 6 of those 7, so each grid step DMAs ONE new chunk into an
@@ -257,7 +325,21 @@ def _kernel(
 
             for tj in range(nt):
                 ws = tj * tile
-                sm = sm_ref[0, 0, tj, :, 0 : 2 * kw]
+                if compact:
+                    ci = jax.lax.broadcasted_iota(
+                        jnp.int32, (tile, 2 * kw), 1
+                    )
+                    col = lambda j, ws=ws: tbl_ref[
+                        0, 0, ws : ws + tile, j : j + 1
+                    ]
+                    sm = (
+                        jnp.where(ci == col(0).astype(jnp.int32), col(1), 0.0)
+                        + jnp.where(
+                            ci == kw + col(2).astype(jnp.int32), col(3), 0.0
+                        )
+                    ).astype(dtype)
+                else:
+                    sm = sm_ref[0, 0, tj, :, 0 : 2 * kw]
 
                 def h_body(g, _, ws=ws, sm=sm):
                     r = g * R
@@ -282,9 +364,21 @@ def _kernel(
 
         if "v" in stages:
             # ---- V pass: dense masked select (2 live terms per column)
+            if compact:
+                li = jax.lax.broadcasted_iota(jnp.int32, (wh, 128), 1)
+                dl = tbl_ref[0, 0, :, 4:5].astype(jnp.int32)
+                # cast to the carry dtype so numerics are bit-identical to
+                # the dense-table path (whose vm is pre-cast in the wrapper)
+                vmv = (
+                    jnp.where(li == dl, tbl_ref[0, 0, :, 5:6], 0.0)
+                    + jnp.where(li == dl + 1, tbl_ref[0, 0, :, 6:7], 0.0)
+                ).astype(dtype)
             acc = jnp.zeros((8, wh, 128), jnp.float32)
             for d in range(DV):
-                wv = vm_ref[0, 0, :, d : d + 1]  # (wh, 1)
+                wv = (
+                    vmv[:, d : d + 1] if compact
+                    else vm_ref[0, 0, :, d : d + 1]
+                )  # (wh, 1)
                 acc = acc + hband[d : d + 8].astype(jnp.float32) * wv[None]
         else:
             acc = hband[0:8].astype(jnp.float32)
@@ -359,7 +453,65 @@ def warp_pf(zpf, s_same, s_x, vm, h: int, w: int, tile: int = 128,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w", "tile", "stages"))
+def warp_pf_compact(zpf, tbl, h: int, w: int, tile: int = 128,
+                    stages=("swap", "h", "v")):
+    """:func:`warp_pf` with the compact table: one (b, nby, wh, 8) f32
+    input from :func:`build_warp_tables_compact`; selection one-hots are
+    expanded in-kernel (saves ~60 MB/frame of dense-table HBM traffic and
+    the XLA one-hot construction fusions — numerics are bit-identical to
+    the dense path)."""
+    b, hp_in, wp_in, c2 = zpf.shape
+    wh, nt, kw, kwp, wb, hp, wp = warp_pf_geometry(h, w, tile)
+    if (hp_in, wp_in, c2) != (hp, wp, 128):
+        raise ValueError(
+            f"PF shape {zpf.shape} != geometry {(hp, wp, 128)} for {h}x{w}"
+        )
+    nby = h // 8
+    dtype = zpf.dtype
+    kern = functools.partial(
+        _kernel, nby=nby, wh=wh, tile=tile, nt=nt, kw=kw, wb=wb, hp=hp, wp=wp,
+        stages=stages, compact=True,
+    )
+    cl = lambda r: jnp.clip(r - 1, 0, nby - 1)
+    return pl.pallas_call(
+        kern,
+        grid=(b, nby + 2),
+        in_specs=[
+            pl.BlockSpec((1, 1, wh, 8), lambda bi, r: (bi, cl(r), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 8, wp, 128), lambda bi, r: (bi, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, 128), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((NSLOT, 8, wb, 128), dtype),   # rolling chunks
+            pltpu.VMEM((NSLOT, 8, wb, 128), dtype),   # rolling zmix
+            pltpu.VMEM((BAND, wh, 128), dtype),       # hband
+            pltpu.VMEM((2 * kw, 8 * 128), dtype),     # merged H rhs
+            pltpu.SemaphoreType.DMA((NSLOT,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(tbl.astype(jnp.float32), zpf)
+
+
 def flow_warp_pf(zpf, flow, h: int, w: int, tile: int = 128):
-    """Convenience: tables from ``flow`` + :func:`warp_pf`."""
+    """Convenience: tables from ``flow`` + :func:`warp_pf`.
+
+    Default = the DENSE table path. The compact in-kernel build
+    (PNP_WARP_TABLES=compact) MEASURED SLOWER at 720p/b=1: 18.82 -> 18.17
+    f/s — the (..., 8)-minor compact table is lane-padded 16x in XLA's HBM
+    layout (so its stream costs as much as the dense vm), and the per-tile
+    VPU one-hot expansion serializes against the H-pass MXU dots, costing
+    more than the dense-table pipeline (which Pallas overlaps with
+    compute). Kept reachable for shapes where the balance flips."""
+    import os
+
+    if os.environ.get("PNP_WARP_TABLES", "dense") == "compact":
+        tbl = build_warp_tables_compact(flow, h, w, tile)
+        return warp_pf_compact(zpf, tbl, h, w, tile)
     s_same, s_x, vm = build_warp_tables(flow, h, w, tile)
     return warp_pf(zpf, s_same, s_x, vm, h, w, tile)

@@ -117,6 +117,12 @@ def test_loader_batches_and_is_deterministic(dataset_root):
     assert b1["lq"].shape == (2, 3, 16, 16, 3)
     np.testing.assert_array_equal(np.asarray(b1["lq"]), np.asarray(b2["lq"]))
     np.testing.assert_array_equal(np.asarray(b1["mvs"]), np.asarray(b2["mvs"]))
+    # workers_per_gpu=0 (the reference's synchronous-DataLoader mode) must
+    # not deadlock: the loader clamps to one worker thread
+    l3 = PrefetchLoader(mix, batch_size=2, seed=7, num_threads=0)
+    b3 = next(iter(l3))
+    l3.stop()
+    np.testing.assert_array_equal(np.asarray(b1["lq"]), np.asarray(b3["lq"]))
 
 
 def test_end_to_end_train_and_eval(dataset_root):

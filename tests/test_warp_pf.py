@@ -102,6 +102,25 @@ def test_warp_pf_tables_shapes(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
 
 
+def test_warp_pf_compact_matches_dense(rng):
+    """The compact in-kernel table build (warp_pf_compact) is bit-identical
+    to the dense-table path (it is an opt-in perf variant; see the
+    flow_warp_pf docstring for the measured tradeoff)."""
+    from pnp_vcve_tpu.kernels.warp_pf import (
+        build_warp_tables_compact, warp_pf_compact,
+    )
+
+    b, h, w, c, tile = 1, 32, 256, 64, 128
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    flow = _block_flow(rng, b, h, w)
+    xpf = pack_pf(x, th=8)
+    s_same, s_x, vm = build_warp_tables(flow, h, w, tile)
+    dense = warp_pf(xpf, s_same, s_x, vm, h, w, tile)
+    tbl = build_warp_tables_compact(flow, h, w, tile)
+    compact = warp_pf_compact(xpf, tbl, h, w, tile)
+    np.testing.assert_array_equal(np.asarray(compact), np.asarray(dense))
+
+
 def test_model_pf_resident_matches_block8(rng):
     """Flagship forward with warp_impl='pf' (the PF-resident pipeline:
     warp_pf + input_conv_pf(part_pf) + PF carries + fused head) equals the
