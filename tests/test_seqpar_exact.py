@@ -115,6 +115,63 @@ def test_exact_pipeline_chunks_gt_one_frame(model_params_inputs):
     np.testing.assert_allclose(got, full[0], atol=2e-6, rtol=1e-6)
 
 
+def _make_clip(rng, slices_row):
+    return {
+        "lq": rng.random((T, H, W, 3)).astype(np.float32),
+        "qps": rng.random(T).astype(np.float32),
+        "slices": np.asarray(slices_row, np.float32),
+        "mvs": (rng.standard_normal((T, H, W, 4)) * 2).astype(np.float32),
+        "base_qps": np.full(T, 15.0 / 255.0, np.float32),
+        "partitions": (rng.random((T, H, W, 3)) > 0.5).astype(np.float32) / 255,
+    }
+
+
+def test_stream_schedule_bitwise_equals_per_clip(model_params_inputs):
+    """B=3 clips through the B/(B+D-1) streaming schedule == 3 independent
+    single-clip pipeline runs, bitwise (different keyframe layouts per clip
+    so the carry diagonals are actually exercised)."""
+    from jax.sharding import Mesh
+
+    from pnp_vcve_tpu.parallel.seqpar import (
+        enhance_clip_exact_pipeline,
+        enhance_clips_exact_stream,
+    )
+
+    model, params, _, _ = model_params_inputs
+    rng = np.random.default_rng(7)
+    clips = [
+        _make_clip(rng, [73.0, 66.0, 80.0, 66.0, 66.0, 80.0, 66.0, 66.0]),
+        _make_clip(rng, [73.0, 80.0, 66.0, 66.0, 80.0, 66.0, 66.0, 80.0]),
+        _make_clip(rng, [66.0] * 8),  # no interior keyframes at all
+    ]
+    mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
+    streamed = enhance_clips_exact_stream(model, params, clips, mesh)
+    assert len(streamed) == 3
+    for clip, got in zip(clips, streamed):
+        want = enhance_clip_exact_pipeline(model, params, clip, mesh)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_stream_schedule_single_clip_and_full_depth(model_params_inputs):
+    """Degenerate B=1 and D=8 (one frame per chunk) corners of the stream."""
+    from jax.sharding import Mesh
+
+    from pnp_vcve_tpu.parallel.seqpar import enhance_clips_exact_stream
+
+    model, params, inp, full = model_params_inputs
+    sample = {
+        "lq": np.asarray(inp["lrs"][0]),
+        "qps": np.asarray(inp["qps"][0]),
+        "slices": np.asarray(inp["slices"][0]),
+        "mvs": np.asarray(inp["mvs"][0]),
+        "base_qps": np.asarray(inp["base_qps"][0]),
+        "partitions": np.asarray(inp["par_map"][0]),
+    }
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+    (got,) = enhance_clips_exact_stream(model, params, [sample], mesh)
+    np.testing.assert_allclose(got, full[0], atol=2e-6, rtol=1e-6)
+
+
 def test_evaluate_dataset_exact_frame_parallel(model_params_inputs):
     """evaluate_dataset(frame_parallel='exact') matches the default path."""
     from pnp_vcve_tpu.models.restorer import Restorer

@@ -50,6 +50,32 @@ def write_clip(root: Path, crf: int, clip: str, n_frames: int, h: int, w: int, r
     return qp_entries
 
 
+def write_dataset(root, clips, n_frames: int, h: int, w: int, seed: int = 0):
+    """Write the full synthetic layout (crf15/25/35 + sharp + qp.json).
+
+    Deterministic for a given (clips, n_frames, h, w, seed): the parity-gate
+    fixture (tools/record_parity_fixture.py, tests/test_parity_gate.py)
+    regenerates the identical dataset from the recorded spec instead of
+    committing PNG trees.
+    """
+    root = Path(root)
+    rng = np.random.default_rng(seed)
+    sidecar = {}
+    for crf in (15, 25, 35):
+        sidecar[f"crf{crf}"] = {}
+        for clip in clips:
+            sidecar[f"crf{crf}"][clip] = write_clip(
+                root, crf, clip, n_frames, h, w, rng
+            )
+    for clip in clips:
+        gt_dir = root / "sharp" / "png" / clip
+        gt_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(n_frames):
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            Image.fromarray(img).save(gt_dir / f"{i:08d}.png")
+    (root / "qp.json").write_text(json.dumps(sidecar))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("out", help="output dataset root")
@@ -59,24 +85,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
-    root = Path(args.out)
     h, w = args.hw
-    rng = np.random.default_rng(args.seed)
-    sidecar = {}
-    for crf in (15, 25, 35):
-        sidecar[f"crf{crf}"] = {}
-        for clip in args.clips:
-            sidecar[f"crf{crf}"][clip] = write_clip(
-                root, crf, clip, args.frames, h, w, rng
-            )
-    for clip in args.clips:
-        gt_dir = root / "sharp" / "png" / clip
-        gt_dir.mkdir(parents=True, exist_ok=True)
-        for i in range(args.frames):
-            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-            Image.fromarray(img).save(gt_dir / f"{i:08d}.png")
-    (root / "qp.json").write_text(json.dumps(sidecar))
-    print(f"wrote {len(args.clips)} clips x {args.frames} frames ({h}x{w}) to {root}")
+    write_dataset(args.out, args.clips, args.frames, h, w, args.seed)
+    print(f"wrote {len(args.clips)} clips x {args.frames} frames ({h}x{w}) to {args.out}")
 
 
 if __name__ == "__main__":

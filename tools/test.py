@@ -29,6 +29,13 @@ def parse_args():
         help="'exact': chunked two-sweep pipeline over all local devices "
         "(numerically identical to the single-device scan)",
     )
+    p.add_argument(
+        "--stream-clips", type=int, default=1,
+        help="with --frame-parallel exact: stream N same-shape clips "
+        "through the pipeline at B/(B+D-1) utilization instead of paying "
+        "the fill/drain bubble per clip (N bounds HBM: each device holds "
+        "backward features for N in-flight clips)",
+    )
     p.add_argument("--out", default=None, help="output result pickle")
     p.add_argument("--cfg-options", nargs="+", default=[])
     # cascade mode (reference tools/test.py:121-134): enhance, then feed the
@@ -154,6 +161,7 @@ def main():
         cascade=cascade,
         distributed=args.multihost,
         frame_parallel=args.frame_parallel,
+        stream_clips=args.stream_clips,
     )
     if metrics:
         print(", ".join(f"{k}: {v:.4f}" for k, v in metrics.items()))
