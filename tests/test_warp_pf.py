@@ -79,6 +79,16 @@ def test_warp_pf_batch2(rng):
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+def test_warp_pf_odd_nby_single_band_steps(rng):
+    """h=24 (nby=3, odd) takes the nb=1 single-band-per-step schedule —
+    the fallback when bands can't pair (kernels/warp_pf.py _kernel)."""
+    b, h, w, c = 1, 24, 128, 64
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    flow = _block_flow(rng, b, h, w)
+    got, want, _ = _run(x, flow, h, w, 64)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
 def test_warp_pf_zero_flow_is_identity(rng):
     b, h, w, c = 1, 16, 128, 64
     x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))

@@ -16,8 +16,21 @@ import numpy as np
 from pnp_vcve_tpu.kernels.drt_stack import pack_pf
 from pnp_vcve_tpu.kernels.warp_pf import build_warp_tables, warp_pf
 
-H, W, C = 720, 1280, 64
+H = int(os.environ.get("WPS_H", "720"))
+W = int(os.environ.get("WPS_W", "1280"))
+C = 64
 N = 30
+STAGE_SETS = {
+    "all6": [
+        ("dma only", ()),
+        ("dma+swap", ("swap",)),
+        ("dma+h(noswap)", ("h",)),
+        ("dma+swap+h", ("swap", "h")),
+        ("dma+v", ("v",)),
+        ("all", ("swap", "h", "v")),
+    ],
+    "quick": [("dma only", ()), ("all", ("swap", "h", "v"))],
+}
 
 
 def chain_time(step, z0, *extra):
@@ -47,14 +60,7 @@ def main():
         lambda t: jax.block_until_ready(t.astype(jnp.bfloat16)), tabs
     )
 
-    for name, stages in [
-        ("dma only", ()),
-        ("dma+swap", ("swap",)),
-        ("dma+h(noswap)", ("h",)),
-        ("dma+swap+h", ("swap", "h")),
-        ("dma+v", ("v",)),
-        ("all", ("swap", "h", "v")),
-    ]:
+    for name, stages in STAGE_SETS[os.environ.get("WPS_SET", "all6")]:
         t = chain_time(
             lambda z, s0, s1, v, st=stages: warp_pf(
                 z, s0 + z.reshape(-1)[0] * 1e-30, s1, v, H, W, 128, stages=st
