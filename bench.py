@@ -43,17 +43,57 @@ is constant.
 """
 
 import json
+import subprocess
 import time
 
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pnp_vcve_tpu.utils import apply_platform_override
-apply_platform_override()
+if os.environ.get("PNP_BENCH_FLOPS_PROBE") != "1":
+    apply_platform_override()
 import jax
+if os.environ.get("PNP_BENCH_FLOPS_PROBE") == "1":
+    # flops-probe subprocess: HLO cost analysis needs the CPU backend
+    # (axon's lowered.cost_analysis() returns None) and fully unrolled
+    # scans (HLO while bodies are otherwise counted once, not per frame)
+    jax.config.update("jax_platforms", "cpu")
+    _orig_scan = jax.lax.scan
+
+    def _unrolled_scan(f, init, xs=None, length=None, **kw):
+        kw.pop("unroll", None)
+        return _orig_scan(f, init, xs, length=length, unroll=True, **kw)
+
+    jax.lax.scan = _unrolled_scan
 import jax.numpy as jnp
 import numpy as np
 
 A100_REFERENCE_FPS = 4.0
+
+
+def _flops_probe():
+    """Algorithmic FLOPs of ONE forward (whole clip), printed as JSON.
+
+    Runs in a CPU subprocess; analyzes the XLA-equivalent forward
+    (use_pallas_kernels=False, gather warp) so Pallas opacity and the pf
+    warp's selection-matmul overcompute cannot distort the count.
+    eval_shape params + ShapeDtypeStruct inputs: pure tracing, no compute.
+    """
+    from pnp_vcve_tpu.models import PnPVCVE
+
+    b, t, h, w = (int(os.environ[f"PNP_FP_{k}"]) for k in "BTHW")
+    wi = os.environ["PNP_FP_WARP"]
+    model = PnPVCVE(
+        remat=False, feature_dtype=jnp.bfloat16, use_pallas_kernels=False,
+        warp_impl="block8" if wi == "pf" else wi,
+    )
+    inputs = make_inputs(b, t, h, w, dtype=jnp.bfloat16)
+    ish = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), inputs
+    )
+    psh = jax.eval_shape(model.init, jax.random.PRNGKey(0), **ish)
+    ca = jax.jit(lambda p, i: model.apply(p, **i)).lower(psh, ish).cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    print(json.dumps({"flops": float(ca.get("flops", 0.0))}))
 
 
 def make_inputs(b, t, h, w, dtype=jnp.float32):
@@ -85,13 +125,14 @@ def main():
     on_tpu = platform == "tpu"
 
     # 720p, window sized to fit one chip's HBM feature buffer.
-    # PNP_BENCH_BATCH=2 (throughput serving) measures 14.24 f/s/chip
-    # aggregate vs 13.86 at b=1 — it fits HBM because the fused Pallas
-    # reconstruction head keeps the scan xs out of padded XLA-conv layouts
-    # (models/pnp_vcve.py head gate). The DEFAULT stays b=1: the b=2
-    # executable takes ~45 min to compile through the remote-compile
-    # tunnel (vs ~10 min for b=1) and there is no cross-process compile
-    # cache, so unattended runs risk timeouts.
+    # PNP_BENCH_BATCH=2 (throughput serving) measures 20.24 f/s/chip
+    # aggregate vs 20.14 at b=1 (round 4, PF-resident pipeline) — it fits
+    # HBM because the fused Pallas reconstruction head keeps the scan xs
+    # out of padded XLA-conv layouts (models/pnp_vcve.py head gate). The
+    # DEFAULT stays b=1: +0.5% aggregate throughput does not buy 2x the
+    # per-clip latency, and b=1 is also the reference eval protocol.
+    # (Compile cost is no longer the reason — the persistent compile
+    # cache, commit 09881bc, cut the b=2 recompile from ~75 to ~5.5 min.)
     b = int(os.environ.get("PNP_BENCH_BATCH", "1"))
     t, h, w = 12, 720, 1280
     if not on_tpu:  # CPU smoke fallback
@@ -184,8 +225,49 @@ def main():
     }
     if smoke_err is not None:
         record["pallas_smoke_max_abs_err"] = round(smoke_err, 6)
+
+    # Achieved TFLOP/s + MFU: the estimate-free single-chip numbers (the
+    # vs_baseline denominator is an estimate; MFU is not). FLOPs come from
+    # XLA's own HLO cost analysis (same source as tools/get_flops.py) of
+    # the XLA-equivalent forward — the ALGORITHMIC flops of one clip
+    # (see _flops_probe; a CPU subprocess because axon's
+    # lowered.cost_analysis() returns None, with scans unrolled because
+    # HLO while bodies are otherwise counted once, not per frame).
+    try:
+        env = dict(
+            os.environ, PNP_BENCH_FLOPS_PROBE="1", PNP_FP_B=str(b),
+            PNP_FP_T=str(t), PNP_FP_H=str(h), PNP_FP_W=str(w),
+            PNP_FP_WARP=warp_impl,
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, timeout=1200,
+        )
+        flops = float(
+            json.loads(out.stdout.strip().splitlines()[-1])["flops"]
+        )
+    except Exception:
+        flops = 0.0
+    if flops > 0:
+        achieved = flops / dt / 1e12
+        record["achieved_tflops_per_sec"] = round(achieved, 2)
+        kind = jax.devices()[0].device_kind
+        peaks = {  # dense bf16 peak TFLOP/s per chip (public specs)
+            "v4": 275.0, "v5 lite": 197.0, "v5litepod": 197.0,
+            "v5e": 197.0, "v5p": 459.0, "v5": 459.0,
+            "v6 lite": 918.0, "v6e": 918.0,
+        }
+        peak = next(
+            (v for k, v in peaks.items() if k in kind.lower()), None
+        )
+        if peak:
+            record["mfu"] = round(achieved / peak, 4)
+            record["device_kind"] = kind
     print(json.dumps(record))
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("PNP_BENCH_FLOPS_PROBE") == "1":
+        _flops_probe()
+    else:
+        main()

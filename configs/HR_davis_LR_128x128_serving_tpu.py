@@ -14,6 +14,11 @@ TPU-only serving knobs on:
 
 Use with tools/dist_test.sh / tools/deploy_test.py; training on this
 config is rejected by design.
+
+Batch recommendation: b=1. Measured on the round-4 kernels (v5e chip):
+b=1 20.14 f/s, b=2 20.24 f/s aggregate — +0.5% throughput for 2x the
+per-clip latency, so concurrent clips only pay off when latency is
+irrelevant. Full input contract: docs/serving_contract.md.
 """
 
 _base_ = ["./HR_davis_LR_128x128.py"]
