@@ -187,13 +187,20 @@ def build_warp_tables_compact(flow: jnp.ndarray, h: int, w: int, tile: int = 128
     per row; building them in XLA and streaming them into the kernel costs
     ~60 MB of HBM writes+reads per 720p frame (xplane:
     broadcast_select/pad fusions). This emits only the nonzero structure —
-    8 f32 lanes per output pair — and :func:`warp_pf_compact` expands the
+    8 f32 values per output pair — and :func:`warp_pf_compact` expands the
     one-hot rows on the VPU inside the kernel, where they are consumed.
 
+    Layout: FIELDS-ON-SUBLANES, pairs on lanes — (b, nby, 8, wh). The
+    round-3 (b, nby, wh, 8) layout streamed as much as the dense vt
+    because an 8-lane minor is tile-padded 16x in the HBM layout; with wh
+    minor the table is stored dense (1.8 MB/720p frame) and the kernel
+    dot-transposes each band's (8, wh) slab to (wh, 8) columns against a
+    hoisted identity (selection through the MXU is exact — one-hot rows).
+
     Returns:
-      tbl: (b, nby, wh, 8) f32 = [m_same, val_same, m_x, val_x,
-            dloc, wy0, wy1, 0] per out pair (column indices are exact
-            small ints stored as f32, window-relative; see the S/vt
+      tbl: (b, nby, 8, wh) f32; sublane j = [m_same, val_same, m_x,
+            val_x, dloc, wy0, wy1, 0][j] per out pair (column indices are
+            exact small ints stored as f32, window-relative; see the S/vt
             derivation in :func:`build_warp_tables`).
     """
     b = flow.shape[0]
@@ -216,7 +223,7 @@ def build_warp_tables_compact(flow: jnp.ndarray, h: int, w: int, tile: int = 128
             dloc.astype(jnp.float32), wy0_p, wy1_p,
             jnp.zeros_like(val_x),
         ],
-        axis=-1,
+        axis=-2,
     )
 
 
@@ -232,7 +239,8 @@ def _kernel(
     # (sm, vt) pair; one-hot selection rows are built on the VPU right
     # where they are consumed (build_warp_tables_compact docstring).
     if compact:
-        tbl_ref, zpf_hbm, o_ref, chunks, zt, zmixt, hbt, cbt, sems = refs
+        (tbl_ref, zpf_hbm, o_ref, chunks, zt, zmixt, hbt, cbt,
+         tblc, idm, sems) = refs
         sm_ref = vt_ref = None
     else:
         (sm_ref, vt_ref, zpf_hbm, o_ref,
@@ -310,6 +318,13 @@ def _kernel(
         chunks[:, :, 16 + wp :] = jnp.zeros(
             (NSLOT, 8, wb - 16 - wp, 128), dtype
         )
+        if compact:
+            # hoisted identity for the per-band (8, wh) -> (wh, 8)
+            # table dot-transpose (module docstring of
+            # build_warp_tables_compact)
+            ri = jax.lax.broadcasted_iota(jnp.int32, (wh, wh), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (wh, wh), 1)
+            idm[...] = (ri == ci).astype(jnp.float32)
         # step-fw chunks + dep steps of prefetch
         for k in range(-1, nb * dep + nb + 2):
             issue_chunk(jnp.int32(k), True)
@@ -335,6 +350,13 @@ def _kernel(
 
     def do_band(t, sl):
         """H + V for real band t into o_ref rows [8*sl, 8*sl+8)."""
+        if compact:
+            # band's compact fields to per-pair columns: (8, wh) -> (wh, 8)
+            # (exact: a one-hot selection dot, even through bf16x3 f32)
+            tblc[...] = jax.lax.dot_general(
+                idm[...], tbl_ref[0, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         if "h" in stages:
             # ---- H pass: two selection dots per (row-group, tile),
             # operands sliced straight out of the prep buffers (module
@@ -347,9 +369,7 @@ def _kernel(
                 c0 = ws + PAD_X
                 if compact:
                     ci = jax.lax.broadcasted_iota(jnp.int32, (tile, kw), 1)
-                    col = lambda j, ws=ws: tbl_ref[
-                        0, sl, ws : ws + tile, j : j + 1
-                    ]
+                    col = lambda j, ws=ws: tblc[ws : ws + tile, j : j + 1]
                     lhs_s = jnp.where(
                         ci == col(0).astype(jnp.int32), col(1), 0.0
                     ).astype(dtype)
@@ -379,7 +399,7 @@ def _kernel(
             # ---- V pass: radix-8 two-phase select (module docstring)
             if compact:
                 li = jax.lax.broadcasted_iota(jnp.int32, (wh, 128), 1)
-                dl = tbl_ref[0, sl, :, 4:5].astype(jnp.int32)
+                dl = tblc[:, 4:5].astype(jnp.int32)
                 drel = dl - 4
                 a_col = drel // 8
                 r_col = drel - 8 * a_col
@@ -388,8 +408,8 @@ def _kernel(
                 # the dense-table path (whose vt is pre-cast in the wrapper)
                 vt = (
                     jnp.where(li == a_col, one, 0.0)
-                    + jnp.where(li == 8 + r_col, tbl_ref[0, sl, :, 5:6], 0.0)
-                    + jnp.where(li == 9 + r_col, tbl_ref[0, sl, :, 6:7], 0.0)
+                    + jnp.where(li == 8 + r_col, tblc[:, 5:6], 0.0)
+                    + jnp.where(li == 9 + r_col, tblc[:, 6:7], 0.0)
                 ).astype(dtype)
             else:
                 vt = vt_ref[0, sl]
@@ -448,15 +468,20 @@ def _pick_nb(nby: int) -> int:
     return 1
 
 
-def _scratches(wh, wb, dtype):
-    return [
+def _scratches(wh, wb, dtype, compact=False):
+    s = [
         pltpu.VMEM((NSLOT, 8, wb, 128), dtype),      # rolling chunks (DMA)
         pltpu.VMEM((NSLOT, wb, 8 * 128), dtype),     # zT (row-in-lanes)
         pltpu.VMEM((NSLOT, wb, 8 * 128), dtype),     # zmixT
         pltpu.VMEM((wh, HROWS * 128), dtype),        # hbandT (lane-major)
         pltpu.VMEM((wh, CBS * 128), dtype),          # cbT (V phase A)
-        pltpu.SemaphoreType.DMA((NSLOT,)),
     ]
+    if compact:
+        s += [
+            pltpu.VMEM((wh, 8), jnp.float32),        # tblc (fields as cols)
+            pltpu.VMEM((wh, wh), jnp.float32),       # hoisted identity
+        ]
+    return s + [pltpu.SemaphoreType.DMA((NSLOT,))]
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "tile", "stages"))
@@ -551,7 +576,7 @@ def warp_pf_compact(zpf, tbl, h: int, w: int, tile: int = 128,
         kern,
         grid=(b, (nby + 2) // nb),
         in_specs=[
-            pl.BlockSpec((1, nb, wh, 8), lambda bi, r: (bi, r, 0, 0),
+            pl.BlockSpec((1, nb, 8, wh), lambda bi, r: (bi, r, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -559,7 +584,7 @@ def warp_pf_compact(zpf, tbl, h: int, w: int, tile: int = 128,
                                lambda bi, r: (bi, r, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hp, wp, 128), dtype),
-        scratch_shapes=_scratches(wh, wb, dtype),
+        scratch_shapes=_scratches(wh, wb, dtype, compact=True),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -569,13 +594,15 @@ def warp_pf_compact(zpf, tbl, h: int, w: int, tile: int = 128,
 def flow_warp_pf(zpf, flow, h: int, w: int, tile: int = 128):
     """Convenience: tables from ``flow`` + :func:`warp_pf`.
 
-    Default = the DENSE table path. The compact in-kernel build
-    (PNP_WARP_TABLES=compact) MEASURED SLOWER at 720p/b=1: 18.82 -> 18.17
-    f/s — the (..., 8)-minor compact table is lane-padded 16x in XLA's HBM
-    layout (so its stream costs as much as the dense vt), and the per-tile
-    VPU one-hot expansion serializes against the H-pass MXU dots, costing
-    more than the dense-table pipeline (which Pallas overlaps with
-    compute). Kept reachable for shapes where the balance flips."""
+    Default = the DENSE table path. PNP_WARP_TABLES=compact switches to
+    the fields-on-sublanes compact table + in-kernel one-hot expansion
+    (build_warp_tables_compact docstring). History: the round-3
+    (..., 8)-minor compact layout measured SLOWER (18.82 -> 18.17 f/s —
+    16x lane padding + per-tile expansion serialized against the H dots);
+    the round-4 transposed layout measures 20.16 vs 20.14 dense at
+    720p/b=1 — PARITY in time while cutting ~60 MB/frame of table HBM
+    build+stream. Dense stays default (measured-equal, simpler); compact
+    is the choice when HBM traffic or footprint matters (e.g. larger b)."""
     import os
 
     if os.environ.get("PNP_WARP_TABLES", "dense") == "compact":
