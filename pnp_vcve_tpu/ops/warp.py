@@ -17,6 +17,8 @@ Layout: NHWC. ``flow`` is ``(n, h, w, 2)`` with channels (dx, dy) in pixels.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -146,27 +148,11 @@ def _warp_single_blockgather(
     return out
 
 
-def _warp_single_padgather(
-    x: jnp.ndarray, flow: jnp.ndarray, border: bool = False
-) -> jnp.ndarray:
-    """Bilinear warp: one (2, 2C)-row gather from a zero-padded image, all
-    edge handling folded into (h, w) SCALAR weight maps.
+def _padgather_weights(flow, h, w, border, dtype):
+    """Shared elementwise front end: tap indices + masked bilinear weights.
 
-    The blockgather variant's per-corner clamp-correction selects and
-    validity masks run on (h, w, 4, C)-sized tensors in gather-dictated
-    layouts — measured ~100 ms/frame at 720p, 4x the gather itself. Here:
-
-    - the image is zero-padded by 1 px, block starts are clamped to
-      [-1, edge-1] + 1, so a clamped block always reads either the true
-      value or the padded zero for every tap that has nonzero weight;
-    - taps landing >= 2 px outside get ZERO WEIGHT via (h, w) masks folded
-      into the bilinear weights — no per-channel selects;
-    - the gather runs on an (h+2, (w+2)*C) view so each gathered row is a
-      full (2, 2C) = 2 x 128-lane block.
-    """
-    h, w, c = x.shape
-    dtype = x.dtype
-
+    Differentiable w.r.t. ``flow`` (floor/clip-to-int contribute zero
+    derivative a.e., matching grid_sample's grid gradient semantics)."""
     row = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     col = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     px = col + flow[..., 0].astype(jnp.float32)
@@ -178,8 +164,8 @@ def _warp_single_padgather(
 
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
-    wx = px - x0
-    wy = py - y0
+    wx = px - jax.lax.stop_gradient(x0)
+    wy = py - jax.lax.stop_gradient(y0)
 
     x0i = jnp.clip(x0.astype(jnp.int32), -1, w - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), -1, h - 1)
@@ -195,10 +181,16 @@ def _warp_single_padgather(
     wx0 = jnp.where(ok_x0, 1.0 - wx, 0.0).astype(dtype)
     wy1 = jnp.where(ok_y1, wy, 0.0).astype(dtype)
     wy0 = jnp.where(ok_y0, 1.0 - wy, 0.0).astype(dtype)
+    return x0i, y0i, wx0, wx1, wy0, wy1
 
-    # NOTE: the gather must fully include the minor (channel) dim in the
-    # slice — partially gathering a reshaped (h+2, (w+2)*c) view drops XLA
-    # to a scalar gather path (measured 1.9 s/call vs 13 ms at 720p).
+
+def _padgather_blocks(x, y0i, x0i):
+    """The one (2, 2, C)-slice gather from the zero-padded image.
+
+    NOTE: the gather must fully include the minor (channel) dim in the
+    slice — partially gathering a reshaped (h+2, (w+2)*c) view drops XLA
+    to a scalar gather path (measured 1.9 s/call vs 13 ms at 720p)."""
+    c = x.shape[-1]
     xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
     starts = jnp.stack(
         [(y0i + 1).reshape(-1), (x0i + 1).reshape(-1)], axis=-1
@@ -208,17 +200,115 @@ def _warp_single_padgather(
         collapsed_slice_dims=(),
         start_index_map=(0, 1),
     )
-    blocks = jax.lax.gather(
+    return jax.lax.gather(
         xp, starts, dnums, slice_sizes=(2, 2, c),
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
     )  # (h*w, 2, 2, c)
 
+
+def _padgather_combine(blocks, flow, border, h, w, dtype):
+    """Bilinear blend of gathered blocks; differentiable w.r.t. flow."""
+    _, _, wx0, wx1, wy0, wy1 = _padgather_weights(flow, h, w, border, dtype)
     wy0 = wy0.reshape(-1, 1)
     wy1 = wy1.reshape(-1, 1)
     row0 = blocks[:, 0, 0] * wy0 + blocks[:, 1, 0] * wy1
     row1 = blocks[:, 0, 1] * wy0 + blocks[:, 1, 1] * wy1
     out = row0 * wx0.reshape(-1, 1) + row1 * wx1.reshape(-1, 1)
-    return out.reshape(h, w, c)
+    return out.reshape(h, w, blocks.shape[-1])
+
+
+def _warp_single_padgather_impl(
+    x: jnp.ndarray, flow: jnp.ndarray, border: bool = False
+) -> jnp.ndarray:
+    """Bilinear warp: one (2, 2C)-row gather from a zero-padded image, all
+    edge handling folded into (h, w) SCALAR weight maps.
+
+    The blockgather variant's per-corner clamp-correction selects and
+    validity masks run on (h, w, 4, C)-sized tensors in gather-dictated
+    layouts — measured ~100 ms/frame at 720p, 4x the gather itself. Here:
+
+    - the image is zero-padded by 1 px, block starts are clamped to
+      [-1, edge-1] + 1, so a clamped block always reads either the true
+      value or the padded zero for every tap that has nonzero weight;
+    - taps landing >= 2 px outside get ZERO WEIGHT via (h, w) masks folded
+      into the bilinear weights — no per-channel selects.
+    """
+    h, w, _ = x.shape
+    x0i, y0i, *_ = _padgather_weights(flow, h, w, border, x.dtype)
+    blocks = _padgather_blocks(x, y0i, x0i)
+    return _padgather_combine(blocks, flow, border, h, w, x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _warp_single_padgather(
+    x: jnp.ndarray, flow: jnp.ndarray, border: bool = False
+) -> jnp.ndarray:
+    return _warp_single_padgather_impl(x, flow, border)
+
+
+def _padgather_fwd(x, flow, border):
+    return _warp_single_padgather_impl(x, flow, border), (x, flow)
+
+
+def _padgather_bwd(border, res, g):
+    """Exact adjoint WITHOUT scatter (the autodiff backward of the gather
+    is an XLA scatter-add, measured ~9.4 s of a 10.7 s flagship train step
+    at the reference recipe shape — TPU scatters update serially).
+
+    d/dx is the bilinear SPLAT of the cotangent: every out pixel q adds
+    w_tap(q) * g[q] to its 4 tap cells. Computed as segment sums with
+    gathers only: flatten the 4 taps' (dest-cell, weighted-cotangent)
+    pairs, sort by dest cell, prefix-sum, and read each cell's segment sum
+    as a difference of prefix sums at searchsorted boundaries. Exact up to
+    f32 summation order; destinations in the pad ring are sliced away
+    (their forward reads were the structural zeros).
+
+    d/dflow re-runs the blend with the re-gathered blocks held constant —
+    identical to autodiff's flow gradient (gather indices and floor carry
+    zero derivative), at the cost of one extra gather instead of saved
+    (hw, 2, 2, c) residuals.
+    """
+    x, flow = res
+    h, w, c = x.shape
+    x0i, y0i, wx0, wx1, wy0, wy1 = _padgather_weights(
+        flow, h, w, border, x.dtype
+    )
+
+    blocks = _padgather_blocks(x, y0i, x0i)
+    _, pull = jax.vjp(
+        lambda fl: _padgather_combine(blocks, fl, border, h, w, x.dtype),
+        flow,
+    )
+    (dflow,) = pull(g)
+
+    gf = g.reshape(-1, c).astype(jnp.float32)
+    wp2 = w + 2
+    base_y = (y0i + 1).reshape(-1)
+    base_x = (x0i + 1).reshape(-1)
+    idxs, vals = [], []
+    for ty, wy_t in ((0, wy0), (1, wy1)):
+        for tx, wx_t in ((0, wx0), (1, wx1)):
+            wgt = (wy_t * wx_t).reshape(-1, 1).astype(jnp.float32)
+            idxs.append((base_y + ty) * wp2 + (base_x + tx))
+            vals.append(gf * wgt)
+    idx = jnp.concatenate(idxs)
+    val = jnp.concatenate(vals, axis=0)
+    sidx, perm = jax.lax.sort_key_val(
+        idx, jnp.arange(idx.shape[0], dtype=jnp.int32)
+    )
+    sval = jnp.take(val, perm, axis=0)
+    cs0 = jnp.concatenate(
+        [jnp.zeros((1, c), jnp.float32), jnp.cumsum(sval, axis=0)], axis=0
+    )
+    cells = jnp.arange((h + 2) * wp2, dtype=sidx.dtype)
+    hi = jnp.searchsorted(sidx, cells, side="right")
+    lo = jnp.concatenate([jnp.zeros((1,), hi.dtype), hi[:-1]])
+    dense = jnp.take(cs0, hi, axis=0) - jnp.take(cs0, lo, axis=0)
+    dx = dense.reshape(h + 2, wp2, c)[1:-1, 1:-1].astype(x.dtype)
+    return dx, dflow.astype(flow.dtype)
+
+
+_warp_single_padgather.defvjp(_padgather_fwd, _padgather_bwd)
 
 
 _BLOCK = 8       # H.264 macroblock partitions are multiples of 8x8

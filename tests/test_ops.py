@@ -6,6 +6,7 @@ framework itself never imports torch.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -294,4 +295,39 @@ def test_block8_separable_weights_match_padgather(rng):
     got = _warp_single_block8(x, flow)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize("border", [False, True])
+def test_padgather_custom_vjp_matches_autodiff(rng, border):
+    """The scatter-free warp backward (sort + prefix-sum segment reads,
+    ops/warp.py _padgather_bwd) == autodiff of the plain gather forward
+    for BOTH cotangents (features and flow). The custom path exists
+    because XLA's scatter-add adjoint updates serially on TPU — measured
+    ~9.4 s of a 10.7 s flagship train step at the reference recipe shape
+    (5 clips x 15 frames, 128x128 crops)."""
+    from pnp_vcve_tpu.ops.warp import (
+        _warp_single_padgather,
+        _warp_single_padgather_impl,
+    )
+
+    h, w, c = 16, 24, 6
+    x = jnp.asarray(rng.standard_normal((h, w, c)).astype(np.float32))
+    flow = jnp.asarray(rng.uniform(-6, 6, (h, w, 2)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((h, w, c)).astype(np.float32))
+
+    out1, pull1 = jax.vjp(
+        lambda a, f: _warp_single_padgather(a, f, border), x, flow
+    )
+    out2, pull2 = jax.vjp(
+        lambda a, f: _warp_single_padgather_impl(a, f, border), x, flow
+    )
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    dx1, df1 = pull1(g)
+    dx2, df2 = pull2(g)
+    np.testing.assert_allclose(
+        np.asarray(dx1), np.asarray(dx2), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(df1), np.asarray(df2), atol=1e-5, rtol=1e-5
     )
