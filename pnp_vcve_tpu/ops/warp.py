@@ -301,7 +301,10 @@ def _padgather_bwd(border, res, g):
         [jnp.zeros((1, c), jnp.float32), jnp.cumsum(sval, axis=0)], axis=0
     )
     cells = jnp.arange((h + 2) * wp2, dtype=sidx.dtype)
-    hi = jnp.searchsorted(sidx, cells, side="right")
+    # method='sort' (merge-rank) beats the default binary scan on TPU:
+    # the scan's 17 dependent 1-row gather rounds are issue-rate-bound
+    # (measured 229 -> 177 ms per 75-frame splat batch)
+    hi = jnp.searchsorted(sidx, cells, side="right", method="sort")
     lo = jnp.concatenate([jnp.zeros((1,), hi.dtype), hi[:-1]])
     dense = jnp.take(cs0, hi, axis=0) - jnp.take(cs0, lo, axis=0)
     dx = dense.reshape(h + 2, wp2, c)[1:-1, 1:-1].astype(x.dtype)
