@@ -118,6 +118,18 @@ def _build_mfqev2(**kwargs):
     return MFQEv2(**known)
 
 
+@BACKBONES.register(name="BasicVSRPlusPlus")
+def _build_bvpp_vanilla(**kwargs):
+    """Vanilla BasicVSR++ (reference basicvsr_pp.py:17-383), the standard
+    downstream VSR for the --cascade plug-and-play story."""
+    from pnp_vcve_tpu.models.baselines.basicvsr_pp import BasicVSRPlusPlus
+
+    known = {k: v for k, v in kwargs.items() if k in (
+        "mid_channels", "num_blocks", "max_residue_magnitude",
+        "is_low_res_input", "deform_groups")}
+    return BasicVSRPlusPlus(**known)
+
+
 @BACKBONES.register(name="BasicVSRPlusPlusPQF", aliases=("BasicVSRPlusPlus_PQF",))
 def _build_bvpp_pqf(variant: str = "base", **kwargs):
     from pnp_vcve_tpu.models.baselines.basicvsr_pp import BasicVSRPlusPlusPQF
@@ -624,36 +636,24 @@ def build_restorer(model_cfg: dict, test_cfg: Optional[dict] = None):
 DATASETS = Registry("datasets")
 
 
-def _pipeline_params(pipeline: list[dict]) -> dict:
-    """Extract loader/transform knobs from a reference-style pipeline list."""
-    out = dict(
-        data_ratio=(0.2, 0.6, 0.85, 1.0),
-        replace_qp_with_ipb=False,
-        qp_slice_file=None,
-        gt_patch_size=128,
-        filename_tmpl="{:08d}.png",
-        interval_list=(1,),
-        window_mode="segment",
-    )
-    for stage in pipeline or []:
-        t = stage.get("type", "")
-        if t.startswith("GenerateSegmentIndices"):
-            out["filename_tmpl"] = stage.get("filename_tmpl", out["filename_tmpl"])
-            out["interval_list"] = tuple(stage.get("interval_list", (1,)))
-        elif t.startswith("GenerateFrameIndicesEDVR"):
-            # EDVR center-frame windows (augmentation.py:960-1244)
-            out["filename_tmpl"] = stage.get("filename_tmpl", out["filename_tmpl"])
-            out["interval_list"] = tuple(stage.get("interval_list", (1,)))
-            out["window_mode"] = "edvr"
-        elif t.startswith("LoadImageFromFileList"):
-            out["qp_slice_file"] = stage.get("qp_slice_file", out["qp_slice_file"])
-            out["data_ratio"] = tuple(stage.get("data_ratio", out["data_ratio"]))
-            out["replace_qp_with_ipb"] = stage.get(
-                "replace_qp_withIPB", out["replace_qp_with_ipb"]
-            )
-        elif t == "PairedRandomCrop_mv":
-            out["gt_patch_size"] = stage.get("gt_patch_size", 128)
-    return out
+def _build_pipeline(pipeline: Optional[list]):
+    """Build a config pipeline list through the PIPELINES registry
+    (reference compose.py:10-54). Unknown stage types raise KeyError.
+    Returns None for an empty/absent pipeline (datasets then use their
+    built-in default transform order)."""
+    from pnp_vcve_tpu.data.compose import Compose
+
+    if not pipeline:
+        return None
+    return Compose(pipeline)
+
+
+def _pipeline_params(pipeline: Optional[list]) -> dict:
+    """Loader knobs from a reference-style pipeline list, via the PIPELINES
+    registry (every stage validated; unknown types raise)."""
+    from pnp_vcve_tpu.data.compose import Compose
+
+    return Compose(pipeline or []).loader_params()
 
 
 @DATASETS.register(name="SRREDSMultipleGTMixCompressDataset")
@@ -685,8 +685,10 @@ def _build_reds_train(
         raise ValueError(f"Unknown val_partition {val_partition!r}")
     names = list(val) if test_mode else reds_train_clips(val)
     clips = [ClipIndex(n, 100) for n in names]
-    p = _pipeline_params(pipeline)
+    tf = _build_pipeline(pipeline)
+    p = tf.loader_params() if tf is not None else _pipeline_params(None)
     return MixCompressTrainDataset(
+        transforms=tf,
         lq_folder=lq_folder,
         gt_folder=gt_folder,
         cprs15_folder=cprs15_folder,
@@ -726,8 +728,10 @@ def _build_davis_train(
     # reference hardcodes sequence_length=20 for DAVIS clips
     # (sr_dsvis_multiple_gt_compress_dataset.py:84)
     clips = [ClipIndex(n, 20) for n in names]
-    p = _pipeline_params(pipeline)
+    tf = _build_pipeline(pipeline)
+    p = tf.loader_params() if tf is not None else _pipeline_params(None)
     return MixCompressTrainDataset(
+        transforms=tf,
         lq_folder=lq_folder,
         gt_folder=gt_folder,
         cprs15_folder=cprs15_folder,
@@ -949,7 +953,8 @@ def _build_big_train(
 
     seq_default = {"HR": 100, "LR": 100, "DAVIS": 20}
     sequence_length = dict(sequence_length or seq_default)
-    p = _pipeline_params(pipeline)
+    tf = _build_pipeline(pipeline)
+    p = tf.loader_params() if tf is not None else _pipeline_params(None)
     qp_files = p["qp_slice_file"]
 
     sources, weights = [], []
@@ -976,6 +981,7 @@ def _build_big_train(
                 interval_list=p["interval_list"],
                 replace_qp_with_ipb=p["replace_qp_with_ipb"],
                 window_mode=p["window_mode"],
+                transforms=tf,
             )
         )
         weights.append(len(clips))
@@ -1111,8 +1117,10 @@ def _build_reds_test(
         else tuple(f"{i:03d}" for i in range(240, 270))
     )
     clips = [ClipIndex(n, 100) for n in val]
-    p = _pipeline_params(pipeline)
+    tf = _build_pipeline(pipeline)
+    p = tf.loader_params() if tf is not None else _pipeline_params(None)
     return CompressTestDataset(
+        transforms=tf,
         lq_folder=lq_folder,
         gt_folder=gt_folder,
         qp_slice_file=p["qp_slice_file"],
@@ -1149,8 +1157,10 @@ def _build_folder_test(
                          if f.name.endswith(".png")))
         for n in names
     ]
-    p = _pipeline_params(pipeline)
+    tf = _build_pipeline(pipeline)
+    p = tf.loader_params() if tf is not None else _pipeline_params(None)
     return CompressTestDataset(
+        transforms=tf,
         lq_folder=lq_folder,
         gt_folder=gt_folder,
         qp_slice_file=p["qp_slice_file"],

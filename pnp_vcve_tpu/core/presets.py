@@ -49,6 +49,8 @@ def mix_pipeline(qp_slice_file, filename_tmpl="{:08d}.png", replace_qp_withIPB=F
             interval_list=[1],
             filename_tmpl=filename_tmpl,
         ),
+        # reference configs ship this at ratio 0 (HR_davis_LR_128x128.py:52)
+        dict(type="TemporalReverse", keys="lq_path", reverse_ratio=0),
         dict(
             type="LoadImageFromFileList_Mix_Compress_ipb",
             key="lq",
@@ -69,6 +71,8 @@ def mix_pipeline(qp_slice_file, filename_tmpl="{:08d}.png", replace_qp_withIPB=F
         dict(type="Flip", keys=["lq", "gt", "mvs", "partitions"], flip_ratio=0.5, direction="horizontal"),
         dict(type="Flip", keys=["lq", "gt", "mvs", "partitions"], flip_ratio=0.5, direction="vertical"),
         dict(type="RandomTransposeHW", keys=["lq", "gt", "mvs", "partitions"], transpose_ratio=0.5),
+        dict(type="FramesToTensor", keys=["lq", "gt", "mvs", "slices", "base_QPs", "QPs", "partitions"]),
+        dict(type="Collect", keys=["lq", "gt", "mvs", "slices", "base_QPs", "QPs", "partitions"]),
     ]
 
 

@@ -109,6 +109,11 @@ class MixCompressTrainDataset:
     # 'segment' (GenerateSegmentIndices_Mix_Compress) | 'edvr'
     # (GenerateFrameIndicesEDVR_mix, center-frame window w/ border reroll)
     window_mode: str = "segment"
+    # Config-built pipeline (data.compose.Compose). When set, index
+    # generation (incl. TemporalReverse) and the transform tail run in
+    # config order through the PIPELINES registry; when None, the default
+    # fixed order below (rescale -> crop -> flips -> transpose) applies.
+    transforms: Optional[object] = None
     _lut: QpSliceLookup = field(init=False, repr=False)
 
     def __post_init__(self):
@@ -127,22 +132,32 @@ class MixCompressTrainDataset:
 
     def sample(self, rng: np.random.Generator) -> Sample:
         clip = self.clips[int(rng.integers(0, len(self.clips)))]
-        gen = (
-            generate_edvr_window_indices
-            if self.window_mode == "edvr"
-            else generate_segment_indices
-        )
-        idxs = gen(
-            clip.sequence_length, self.num_input_frames, rng, self.interval_list
-        )
+        if self.transforms is not None:
+            plan = self.transforms.apply_index(
+                clip.sequence_length, self.num_input_frames, rng
+            )
+            lq_idxs, gt_idxs = plan["lq_idxs"], plan["gt_idxs"]
+        else:
+            gen = (
+                generate_edvr_window_indices
+                if self.window_mode == "edvr"
+                else generate_segment_indices
+            )
+            lq_idxs = gt_idxs = gen(
+                clip.sequence_length, self.num_input_frames, rng, self.interval_list
+            )
         base_qp, folder = self._bucket(float(rng.random()))
 
         lq_frames, gt_frames, qps, slice_types, records = [], [], [], [], []
-        for i in idxs:
+        for i, j in zip(lq_idxs, gt_idxs):
             fname = self.filename_tmpl.format(i)
             lq_png = os.path.join(folder, clip.name, fname)
             lq_frames.append(_load_png(lq_png))
-            gt_frames.append(_load_png(os.path.join(self.gt_folder, clip.name, fname)))
+            gt_frames.append(
+                _load_png(
+                    os.path.join(self.gt_folder, clip.name, self.filename_tmpl.format(j))
+                )
+            )
             qp, st = self._lut(base_qp, clip.name, i)
             qps.append(qp)
             slice_types.append(st)
@@ -158,8 +173,10 @@ class MixCompressTrainDataset:
             "partitions": partitions,
             "qps": np.asarray(qps, np.float32),
             "slices": np.asarray([ord(s) for s in slice_types], np.float32),
-            "base_qps": np.full(len(idxs), float(base_qp), np.float32),
+            "base_qps": np.full(len(lq_idxs), float(base_qp), np.float32),
         }
+        if self.transforms is not None:
+            return self.transforms.apply_sample(sample, rng, scale=self.scale)
         rescale_to_zero_one(sample)
         paired_random_crop_mv(sample, self.gt_patch_size, self.scale, rng)
         flip(sample, "horizontal", rng)
@@ -180,6 +197,8 @@ class CompressTestDataset:
     scale: int = 1
     filename_tmpl: str = "{:08d}.png"
     replace_qp_with_ipb: bool = False
+    # Config-built pipeline (data.compose.Compose); None -> rescale only.
+    transforms: Optional[object] = None
     _lut: QpSliceLookup = field(init=False, repr=False)
 
     def __post_init__(self):
@@ -217,6 +236,8 @@ class CompressTestDataset:
             "base_qps": np.full(n, float(self.base_qp), np.float32),
             "clip_name": clip.name,  # type: ignore[dict-item]
         }
+        if self.transforms is not None:
+            return self.transforms.apply_sample(sample, rng=None, scale=self.scale)
         rescale_to_zero_one(sample)
         return sample
 

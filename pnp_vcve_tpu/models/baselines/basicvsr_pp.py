@@ -58,7 +58,7 @@ from pnp_vcve_tpu.ops.deform_conv import modulated_deform_conv2d
 from pnp_vcve_tpu.ops.upsample import pixel_shuffle, bilinear_resize
 from pnp_vcve_tpu.ops.dynamic_conv import conv2d_nhwc
 
-__all__ = ["BasicVSRPlusPlusPQF"]
+__all__ = ["BasicVSRPlusPlusPQF", "BasicVSRPlusPlus"]
 
 
 class ResidualBlocksWithInputConv(nn.Module):
@@ -211,6 +211,115 @@ class _PropagateStep(nn.Module):
             n2_feat, n2_chain, n2_valid,
         )
         return new_carry, new_prop
+
+
+class BasicVSRPlusPlus(nn.Module):
+    """Vanilla BasicVSR++ (reference basicvsr_pp.py:17-383): SPyNet flows,
+    four second-order propagation branches where the second-order feature is
+    always the branch output at lag 2 (feats[module][-2], :209-220) and the
+    second-order flow the one-step composition ``flow_n1 + warp(flow_n2,
+    flow_n1)`` — i.e. the ``second_order='plain'`` mode of
+    :class:`_PropagateStep` on every branch. The natural downstream VSR for
+    the plug-and-play ``--cascade`` story (reference README.md:86-106).
+
+    Same parameter layout as the PQF family, so
+    ``core.convert_baselines.convert_bvpp_pqf`` converts its checkpoints.
+
+    ``is_mirror_extended=True`` (reference check_if_mirror_extended,
+    :113-127, decided host-side in train/eval.py) reuses flipped backward
+    flows for the forward sweeps (:356-359) instead of a second SPyNet pass.
+    """
+
+    mid_channels: int = 64
+    num_blocks: int = 7
+    max_residue_magnitude: float = 10.0
+    is_low_res_input: bool = True
+    deform_groups: int = 16
+
+    @nn.compact
+    def __call__(self, lrs, qps=None, slices=None, is_mirror_extended=False,
+                 **_ignored):
+        # the sweep driver is shared with the PQF family
+        # (BasicVSRPlusPlusPQF._sweep; second_order='plain' ignores the
+        # keyframe stream and the flow_compose mode)
+        b, t, h, w, c_in = lrs.shape
+        cm = self.mid_channels
+
+        if self.is_low_res_input:
+            lqs_down = lrs
+            feat_fn = ResidualBlocksWithInputConv(cm, 5, name="feat_extract")
+            feats = feat_fn(lrs.reshape(b * t, h, w, c_in))
+            fh, fw = h, w
+        else:
+            lqs_down = jax.image.resize(
+                lrs.reshape(b * t, h, w, c_in),
+                (b * t, h // 4, w // 4, c_in), "bicubic",
+            ).reshape(b, t, h // 4, w // 4, c_in)
+
+            y = nn.leaky_relu(nn.Conv(cm, (3, 3), strides=(2, 2), padding="SAME",
+                                      name="feat_down0")(lrs.reshape(b * t, h, w, c_in)), 0.1)
+            y = nn.leaky_relu(nn.Conv(cm, (3, 3), strides=(2, 2), padding="SAME",
+                                      name="feat_down1")(y), 0.1)
+            feats = ResidualBlocksWithInputConv(cm, 5, name="feat_extract")(y)
+            fh, fw = h // 4, w // 4
+        feats = feats.reshape(b, t, fh, fw, cm)
+
+        spynet = SPyNet(name="spynet")
+        prev = lqs_down[:, :-1].reshape(b * (t - 1), fh, fw, c_in)
+        nxt = lqs_down[:, 1:].reshape(b * (t - 1), fh, fw, c_in)
+        flows_backward = spynet(prev, nxt).reshape(b, t - 1, fh, fw, 2)
+        if is_mirror_extended:
+            # flows_forward = flows_backward.flip(1) (reference :152-153,356-359)
+            flows_forward = jnp.flip(flows_backward, 1)
+        else:
+            flows_forward = spynet(nxt, prev).reshape(b, t - 1, fh, fw, 2)
+
+        keys = jnp.ones((b, t), bool)  # unused by second_order='plain'
+        branch_feats = []
+        for it in (1, 2):
+            for direction in ("backward", "forward"):
+                name = f"{direction}_{it}"
+                prev_stacks = (
+                    jnp.concatenate(branch_feats, axis=-1) if branch_feats else None
+                )
+                if direction == "backward":
+                    fs = jnp.flip(feats, 1)
+                    ps = jnp.flip(prev_stacks, 1) if prev_stacks is not None else None
+                    fl = jnp.flip(flows_backward, 1)
+                    out = BasicVSRPlusPlusPQF._sweep(
+                        self, name, len(branch_feats), fs, ps, fl,
+                        jnp.flip(keys, 1), "compose", "plain",
+                    )
+                    out = jnp.flip(out, 1)
+                else:
+                    out = BasicVSRPlusPlusPQF._sweep(
+                        self, name, len(branch_feats), feats, prev_stacks,
+                        flows_forward, keys, "compose", "plain",
+                    )
+                branch_feats.append(out)
+
+        hr = jnp.concatenate([feats] + branch_feats, axis=-1)
+        hr = hr.reshape(b * t, fh, fw, 5 * cm)
+        hr = ResidualBlocksWithInputConv(cm, 5, name="reconstruction")(hr)
+        up1_k = self.param("upsample1_kernel", torch_conv_default, (3, 3, cm, 4 * cm))
+        up1_b = self.param("upsample1_bias", torch_conv_bias_default(9 * cm), (4 * cm,))
+        up2_k = self.param("upsample2_kernel", torch_conv_default, (3, 3, cm, 256))
+        up2_b = self.param("upsample2_bias", torch_conv_bias_default(9 * cm), (256,))
+        hr = nn.leaky_relu(pixel_shuffle(conv2d_nhwc(hr, up1_k, up1_b), 2), 0.1)
+        hr = nn.leaky_relu(pixel_shuffle(conv2d_nhwc(hr, up2_k, up2_b), 2), 0.1)
+        hr = nn.leaky_relu(nn.Conv(64, (3, 3), padding="SAME", name="conv_hr")(hr), 0.1)
+        hr = nn.Conv(3, (3, 3), padding="SAME", name="conv_last")(hr)
+        hr = hr.reshape(b, t, 4 * fh, 4 * fw, 3)
+
+        if self.is_low_res_input:
+            base = jax.image.resize(
+                lrs.reshape(b * t, h, w, c_in),
+                (b * t, 4 * h, 4 * w, c_in), "bilinear",
+            ).reshape(b, t, 4 * h, 4 * w, c_in)
+        else:
+            base = lrs
+            hr = hr[:, :, :h, :w]
+        return hr + base
 
 
 class BasicVSRPlusPlusPQF(nn.Module):

@@ -379,6 +379,20 @@ class _ForwardStep(nn.Module):
 class PnPVCVE(nn.Module):
     """Flagship generator (config configs/HR_davis_LR_128x128.py:4-26)."""
 
+    def carry_feature_shape(self, h: int, w: int) -> tuple:
+        """Per-batch-item shape of the scan carry's feature tensors (and of
+        one backward-sweep output frame) at input size (h, w). In the
+        PF-resident serving mode carries live in the Pallas stack's packed
+        pixel-pair layout (b, HP, WP, 2c); everywhere else (b, h, w, c).
+        parallel/seqpar.py sizes its boundary-carry / feature buffers with
+        this, so the exact multi-chip pipeline works for every warp_impl."""
+        if self.warp_impl == "pf":
+            from pnp_vcve_tpu.kernels.drt_stack import pf_geometry
+
+            HP, WP, _, _, _ = pf_geometry(h, w, 16)
+            return (HP, WP, 2 * self.mid_channels)
+        return (h, w, self.mid_channels)
+
     mid_channels: int = 64
     num_blocks: int = 8
     num_experts: int = 6
@@ -522,11 +536,6 @@ class PnPVCVE(nn.Module):
                 raise ValueError(
                     "warp_impl='pf' requires use_pallas_kernels=True, "
                     "deform='vos', vsr=False"
-                )
-            if sweep != "full" or carry is not None:
-                raise ValueError(
-                    "warp_impl='pf' does not support the chunked two-sweep "
-                    "pipeline yet; use warp_impl='block8' there"
                 )
             if c != 64 or h % 16 or w % 16:
                 raise ValueError(

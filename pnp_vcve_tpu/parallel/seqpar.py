@@ -121,7 +121,7 @@ def enhance_clip_exact_pipeline(
     ct = t // D
     inputs = _chunked_inputs(sample, D)
     h, w = sample["lq"].shape[1:3]
-    c = model.mid_channels
+    feat_shape = model.carry_feature_shape(h, w)
 
     spec_in = jax.tree_util.tree_map(lambda _: P(axis), inputs)
 
@@ -139,8 +139,8 @@ def enhance_clip_exact_pipeline(
 
         def zero_carry():
             return (
-                jnp.zeros((1, h, w, c), feature_dtype),
-                jnp.zeros((1, h, w, c), feature_dtype),
+                jnp.zeros((1, *feat_shape), feature_dtype),
+                jnp.zeros((1, *feat_shape), feature_dtype),
                 jnp.zeros((1,), bool),
             )
 
@@ -164,7 +164,7 @@ def enhance_clip_exact_pipeline(
             )
             return feats, carry_next
 
-        feats0 = jnp.zeros((1, ct, h, w, c), feature_dtype)
+        feats0 = jnp.zeros((1, ct, *feat_shape), feature_dtype)
         feats, _ = jax.lax.fori_loop(
             0, D, lambda s, st: bwd_step(s, st), (feats0, zero_carry())
         )
@@ -245,7 +245,7 @@ def enhance_clips_exact_stream(
     if t % D:
         raise ValueError(f"t={t} not divisible by pipeline depth {D}")
     ct = t // D
-    c = model.mid_channels
+    feat_shape = model.carry_feature_shape(h, w)
 
     # (B, D, 1, ct, ...) per key, chunk axis sharded over the pipeline
     inputs = jax.tree_util.tree_map(
@@ -266,8 +266,8 @@ def enhance_clips_exact_stream(
 
         def zero_carry():
             return (
-                jnp.zeros((1, h, w, c), feature_dtype),
-                jnp.zeros((1, h, w, c), feature_dtype),
+                jnp.zeros((1, *feat_shape), feature_dtype),
+                jnp.zeros((1, *feat_shape), feature_dtype),
                 jnp.zeros((1,), bool),
             )
 
@@ -302,7 +302,7 @@ def enhance_clips_exact_stream(
             )
             return feats, carry_next
 
-        feats0 = jnp.zeros((B, 1, ct, h, w, c), feature_dtype)
+        feats0 = jnp.zeros((B, 1, ct, *feat_shape), feature_dtype)
         feats, _ = jax.lax.fori_loop(
             0, B + D - 1, bwd_step, (feats0, zero_carry())
         )

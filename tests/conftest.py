@@ -45,7 +45,8 @@ import pytest  # noqa: E402
 # and the deploy/serving CLIs. Everything else (whole-model forwards,
 # interpret-mode kernels, baselines zoo) runs in the full suite.
 _FAST_FILES = {
-    "test_ablation_blocks.py", "test_convert.py", "test_data_prep.py",
+    "test_ablation_blocks.py", "test_compose.py", "test_convert.py",
+    "test_data_prep.py",
     "test_data_prep_extra.py", "test_deform_conv.py", "test_degradations.py",
     "test_deploy_test_cli.py", "test_deployment_serving.py",
     "test_metrics.py", "test_multihost.py", "test_mv_raster.py",

@@ -101,3 +101,55 @@ def test_bvpp_pqf_matches_reference_code(variant):
     )
     got = np.moveaxis(np.asarray(out), -1, 2)
     np.testing.assert_allclose(got, expected, atol=5e-4, rtol=1e-4)
+
+
+def test_bvpp_vanilla_matches_reference_code():
+    """Vanilla BasicVSR++ (reference basicvsr_pp.py:17-383) with random
+    weights == our BasicVSRPlusPlus through convert_bvpp_pqf (identical
+    parameter layout across the family)."""
+    mod = load_ref("mmedit.models.backbones.sr_backbones.basicvsr_pp")
+    torch.manual_seed(0)
+    ref = mod.BasicVSRPlusPlus(
+        mid_channels=32, num_blocks=2, spynet_pretrained=None
+    ).eval()
+
+    g = torch.Generator().manual_seed(2)
+    b, t, h, w = 1, 5, 64, 64
+    lqs = torch.rand(b, t, 3, h, w, generator=g)
+    with torch.no_grad():
+        expected = ref(lqs).numpy()  # (n, t, 3, 4h, 4w)
+
+    from pnp_vcve_tpu.models.baselines.basicvsr_pp import BasicVSRPlusPlus
+
+    params = convert_bvpp_pqf(_sd(ref), num_blocks=2)
+    model = BasicVSRPlusPlus(mid_channels=32, num_blocks=2)
+    out = model.apply({"params": params}, _nhwc(lqs))
+    got = np.moveaxis(np.asarray(out), -1, 2)
+    np.testing.assert_allclose(got, expected, atol=5e-4, rtol=1e-4)
+
+
+def test_bvpp_vanilla_mirror_extended_matches_reference_code():
+    """Mirror-extended input: the reference detects it at runtime and reuses
+    flipped backward flows (basicvsr_pp.py:113-127,152-153); we pass the
+    host-side flag (train/eval.py is_mirror_extended)."""
+    mod = load_ref("mmedit.models.backbones.sr_backbones.basicvsr_pp")
+    torch.manual_seed(0)
+    ref = mod.BasicVSRPlusPlus(
+        mid_channels=32, num_blocks=2, spynet_pretrained=None
+    ).eval()
+
+    g = torch.Generator().manual_seed(3)
+    b, t2, h, w = 1, 3, 64, 64
+    half = torch.rand(b, t2, 3, h, w, generator=g)
+    lqs = torch.cat([half, torch.flip(half, dims=(1,))], dim=1)
+    with torch.no_grad():
+        expected = ref(lqs).numpy()
+    assert ref.is_mirror_extended  # the oracle actually took the mirror path
+
+    from pnp_vcve_tpu.models.baselines.basicvsr_pp import BasicVSRPlusPlus
+
+    params = convert_bvpp_pqf(_sd(ref), num_blocks=2)
+    model = BasicVSRPlusPlus(mid_channels=32, num_blocks=2)
+    out = model.apply({"params": params}, _nhwc(lqs), is_mirror_extended=True)
+    got = np.moveaxis(np.asarray(out), -1, 2)
+    np.testing.assert_allclose(got, expected, atol=5e-4, rtol=1e-4)
