@@ -23,6 +23,7 @@ models    CAA hyper-network + BAE enhancement network + restorer wrappers
 train     train/eval loops, optimizer, schedules, checkpointing
 metrics   PSNR/SSIM with bit-parity to the reference protocol
 parallel  mesh construction and sharding rules
+apis      one-call inference helpers (reference ``mmedit/apis`` analog)
 """
 
 __version__ = "0.1.0"

@@ -566,9 +566,10 @@ def build_discriminator(cfg: dict):
 
 
 @MODELS.register(name="Restorer", aliases=("BasicVSR", "BasicRestorer"))
-def _build_restorer(generator: dict, pixel_loss: dict, test_cfg=None, **kwargs):
+def _build_restorer(generator: dict, pixel_loss: dict = None, test_cfg=None, **kwargs):
+    # pixel_loss optional so inference-only configs (apis.init_model) build
     test_cfg = dict(test_cfg or {"metrics": ["PSNR", "SSIM"], "crop_border": 0})
-    pl = dict(pixel_loss)
+    pl = dict(pixel_loss or {})
     return Restorer(
         generator=build_generator(dict(generator)),
         pixel_loss=pl.pop("type", "CharbonnierLoss"),
@@ -791,6 +792,25 @@ def _build_sr_annotation(
         lq_folder=lq_folder, gt_folder=gt_folder, ann_file=ann_file,
         scale=scale, filename_tmpl=filename_tmpl, test_mode=test_mode,
         gt_patch_size=_gt_patch_from_pipeline(pipeline),
+    )
+
+
+@DATASETS.register(name="SRFacialLandmarkDataset")
+def _build_sr_facial_landmark(
+    gt_folder, ann_file, scale=8, pipeline=None, test_mode=False, **kwargs
+):
+    """Facial landmark SR dataset (reference
+    sr_facial_landmark_dataset.py:11-66), the DIC training data source."""
+    from pnp_vcve_tpu.data.sisr_datasets import SRFacialLandmarkDataset
+
+    # honor the DIC pipeline's heatmap sigma when a config carries one
+    sigma = 1.0
+    for st in pipeline or []:
+        if isinstance(st, dict) and st.get("type") == "GenerateHeatmap":
+            sigma = st.get("sigma", 1.0)
+    return SRFacialLandmarkDataset(
+        gt_folder=gt_folder, ann_file=ann_file, scale=scale,
+        sigma=sigma, test_mode=test_mode,
     )
 
 

@@ -34,6 +34,8 @@ __all__ = [
     "SRAnnotationDataset",
     "SRFolderGTDataset",
     "SRLmdbDataset",
+    "SRFacialLandmarkDataset",
+    "generate_heatmap",
 ]
 
 _IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
@@ -272,3 +274,103 @@ class SRLmdbDataset(_PairedSRBase):
                 img = np.asarray(im.convert("RGB"), dtype=np.uint8)
             out.append(img.astype(np.float32) / 255.0)
         return out[0], out[1], key, key
+
+
+def generate_heatmap(
+    landmarks: np.ndarray, ori_size, target_size, sigma: float = 1.0
+) -> np.ndarray:
+    """Gaussian landmark heatmaps (reference
+    pipelines/generate_assistant.py GenerateHeatmap:10-73): one (h, w) map
+    per keypoint, stacked channel-last."""
+    if isinstance(ori_size, int):
+        ori_size = (ori_size, ori_size)
+    if isinstance(target_size, int):
+        target_size = (target_size, target_size)
+    ry = target_size[0] / ori_size[0]
+    rx = target_size[1] / ori_size[1]
+    w, h = target_size[1], target_size[0]
+    gx, gy = np.meshgrid(np.arange(w), np.arange(h))
+    maps = []
+    for kp in landmarks:
+        x, y = kp[0] * rx, kp[1] * ry
+        dist2 = (gx - x) ** 2 + (gy - y) ** 2
+        maps.append(np.exp(-dist2 / (2.0 * sigma * sigma)))
+    return np.stack(maps, axis=2).astype(np.float32)
+
+
+@dataclass
+class SRFacialLandmarkDataset:
+    """Facial image + landmark annotation dataset (reference
+    sr_facial_landmark_dataset.py:11-66): a ``.npy`` annotation file holding
+    a list of dicts ``{gt_path, bbox, shape, landmark}``; gt paths are
+    joined onto ``gt_folder``.
+
+    The DIC training protocol (reference restorers/dic.py train_step +
+    dic_net.py's hardcoded 128px faces): gt resized to ``gt_size``,
+    landmarks rescaled with it, lq = MATLAB-like bicubic downscale by
+    ``scale``, heatmap = 68 Gaussian maps at ``gt_size/4``
+    (GenerateHeatmap ori_size=128 target_size=32, sigma=1).
+    """
+
+    gt_folder: str
+    ann_file: str
+    scale: int = 8
+    gt_size: int = 128
+    sigma: float = 1.0
+    test_mode: bool = False
+
+    def __post_init__(self):
+        infos = np.load(self.ann_file, allow_pickle=True)
+        self.data_infos = []
+        for info in infos:
+            info = dict(info)
+            info["gt_path"] = os.path.join(self.gt_folder, info["gt_path"])
+            self.data_infos.append(info)
+
+    def __len__(self):
+        return len(self.data_infos)
+
+    def load_index(self, idx: int) -> dict:
+        from PIL import Image
+
+        from .degradations import matlab_like_resize
+
+        info = self.data_infos[idx]
+        gt = _load_png(info["gt_path"]).astype(np.float32) / 255.0
+        h0, w0 = gt.shape[:2]
+        landmark = np.asarray(info["landmark"], np.float32)
+        if (h0, w0) != (self.gt_size, self.gt_size):
+            with Image.open(info["gt_path"]) as im:
+                gt = (
+                    np.asarray(
+                        im.convert("RGB").resize(
+                            (self.gt_size, self.gt_size), Image.BICUBIC
+                        ),
+                        np.float32,
+                    )
+                    / 255.0
+                )
+            landmark = landmark * np.asarray(
+                [self.gt_size / w0, self.gt_size / h0], np.float32
+            )
+        lq = matlab_like_resize(gt, 1.0 / self.scale)
+        heatmap = generate_heatmap(
+            landmark,
+            ori_size=self.gt_size,
+            target_size=self.gt_size // 4,
+            sigma=self.sigma,
+        )
+        return {
+            "lq": lq.astype(np.float32),
+            "gt": gt,
+            "heatmap": heatmap,
+            "landmark": landmark,
+            "gt_path": info["gt_path"],
+        }
+
+    def sample(self, rng: np.random.Generator) -> dict:
+        return self.load_index(int(rng.integers(0, len(self))))
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self.load_index(i)

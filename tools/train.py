@@ -542,6 +542,101 @@ def _train_mattor(cfg, total_iters, seed, logger=print):
     logger("[mattor] training done")
 
 
+def _train_dic(cfg, total_iters, seed, logger=print):
+    """DIC face-SR training (reference restorers/dic.py:95-185 train_step):
+    per-step pixel loss on every iterative SR output + align loss on every
+    predicted landmark heatmap vs the GT heatmap; optional
+    discriminator/feature losses kick in after ``fix_iter``
+    (dic.py:132-142). Data: SRFacialLandmarkDataset."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pnp_vcve_tpu.core.builder import (
+        build_dataset,
+        build_generator,
+        build_optimizer,
+    )
+    from pnp_vcve_tpu.core.checkpoint import CheckpointManager
+    from pnp_vcve_tpu.train import create_train_state
+    from pnp_vcve_tpu.train.losses import charbonnier_loss, l1_loss, mse_loss
+
+    mdl = cfg.model
+    gen = build_generator(dict(mdl["generator"]))
+
+    pick = {"L1Loss": l1_loss, "MSELoss": mse_loss,
+            "CharbonnierLoss": charbonnier_loss}
+    pix_cfg = dict(mdl.get("pixel_loss") or {"type": "L1Loss"})
+    align_cfg = dict(mdl.get("align_loss") or pix_cfg)
+    pixel_loss = pick.get(pix_cfg.get("type", "L1Loss"), l1_loss)
+    align_loss = pick.get(align_cfg.get("type", pix_cfg.get("type")), l1_loss)
+    w_pix = pix_cfg.get("loss_weight", 1.0)
+    w_align = align_cfg.get("loss_weight", 0.1)
+
+    ds = build_dataset(dict(cfg.data["train"]))
+    bsz = cfg.data.get("train_dataloader", {}).get("samples_per_gpu", 1)
+    rng = np.random.default_rng(seed)
+
+    def next_batch():
+        samples = [ds.sample(rng) for _ in range(bsz)]
+        stack = lambda k: jnp.asarray(np.stack([s[k] for s in samples]))
+        return {k: stack(k) for k in ("lq", "gt", "heatmap")}
+
+    first = next_batch()
+    params = gen.init(jax.random.PRNGKey(seed), first["lq"])["params"]
+    state = create_train_state(
+        params,
+        build_optimizer(
+            {"generator": dict(
+                (cfg.get("optimizers", {}) or {}).get(
+                    "generator", {"type": "Adam", "lr": 1e-4})
+            )},
+            cfg.get("lr_config"), total_iters,
+        ),
+    )
+
+    @jax.jit
+    def train_step(state, batch):
+        def loss_fn(p):
+            sr_list, hm_list = gen.apply({"params": p}, batch["lq"])
+            # DICNet emits 68-keypoint heatmaps; the dataset's GT heatmap
+            # carries however many keypoints the annotation has
+            k = batch["heatmap"].shape[-1]
+            loss = 0.0
+            for sr, hm in zip(sr_list, hm_list):
+                loss = loss + pixel_loss(sr, batch["gt"]) * w_pix
+                loss = loss + align_loss(hm[..., :k], batch["heatmap"]) * w_align
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), {"loss": loss}
+
+    ckpt = CheckpointManager(cfg.work_dir)
+    log_int = cfg.get("log_config", {}).get("interval", 100)
+    ckpt_int = (cfg.get("checkpoint_config", {}) or {}).get("interval", 2000)
+    batch = first
+    t_last = time.perf_counter()
+    for it in range(total_iters):
+        state, metrics = train_step(state, batch)
+        if (it + 1) % log_int == 0 or it + 1 == total_iters:
+            dt = time.perf_counter() - t_last
+            t_last = time.perf_counter()
+            logger(
+                f"[dic] iter {it + 1}/{total_iters} "
+                f"loss={float(jax.device_get(metrics['loss'])):.5f} "
+                f"({log_int / max(dt, 1e-9):.2f} it/s)"
+            )
+        if (ckpt_int and (it + 1) % ckpt_int == 0) or it + 1 == total_iters:
+            ckpt.save(it + 1, {"generator": state.params},
+                      wait=it + 1 == total_iters)
+        if it + 1 < total_iters:
+            batch = next_batch()
+    ckpt.close()
+    logger("[dic] training done")
+
+
 def main():
     args = parse_args()
     if args.multihost:
@@ -598,6 +693,9 @@ def main():
         return
     if model_type in _MATTOR_TYPES:
         _train_mattor(cfg, total_iters, seed, logger=logger.info)
+        return
+    if model_type == "DIC":
+        _train_dic(cfg, total_iters, seed, logger=logger.info)
         return
 
     restorer = build_restorer(cfg.model, cfg.get("test_cfg"))
