@@ -38,6 +38,12 @@ def main():
     p.add_argument("--t", type=int, default=5)
     p.add_argument("--hw", type=int, nargs=2, default=(256, 448))
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--train", action="store_true",
+                   help="time a full TRAIN step (forward + Charbonnier + "
+                   "backward + Adam) instead of inference, reference "
+                   "basicvsr.py:84-117 train_step vs our jitted "
+                   "make_train_step — the reference-anchored training "
+                   "throughput denominator")
     args = p.parse_args()
 
     import numpy as np
@@ -66,36 +72,81 @@ def main():
     base_qps = torch.rand(b, t, 1, 1, 1)
     par = torch.rand(b, t, 3, h, w)
 
-    with torch.no_grad():
-        ref(lrs, qps, slices, mvs, base_qps, par)  # warm
+    if args.train:
+        # reference train_step semantics (basicvsr.py:84-117): Charbonnier
+        # pixel loss, Adam(2e-4) — one optimizer step per iteration
+        ref = ref.train()
+        gt = torch.rand(b, t, 3, h, w)
+        opt = torch.optim.Adam(ref.parameters(), lr=2e-4)
+
+        def ref_step():
+            out = ref(lrs, qps, slices, mvs, base_qps, par)
+            loss = torch.sqrt((out - gt) ** 2 + 1e-12).mean()
+            opt.zero_grad(set_to_none=True)
+            loss.backward()
+            opt.step()
+
+        ref_step()  # warm
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            ref(lrs, qps, slices, mvs, base_qps, par)
+            ref_step()
         ref_fps = args.iters * b * t / (time.perf_counter() - t0)
+    else:
+        with torch.no_grad():
+            ref(lrs, qps, slices, mvs, base_qps, par)  # warm
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                ref(lrs, qps, slices, mvs, base_qps, par)
+            ref_fps = args.iters * b * t / (time.perf_counter() - t0)
 
     import jax
     import jax.numpy as jnp
 
     from pnp_vcve_tpu.models import PnPVCVE
 
-    model = PnPVCVE(remat=False)
+    # training contract: padgather warp + remat (train/train_step.py);
+    # inference comparison keeps the unremat forward
+    model = PnPVCVE() if args.train else PnPVCVE(remat=False)
     nhwc = lambda x: jnp.asarray(np.moveaxis(x.numpy(), 2, -1))  # noqa: E731
     flat = lambda x: jnp.asarray(x.numpy()[:, :, 0, 0, 0])  # noqa: E731
     inp = dict(
         lrs=nhwc(lrs), qps=flat(qps), slices=flat(slices), mvs=nhwc(mvs),
         base_qps=flat(base_qps), par_map=nhwc(par),
     )
-    params = model.init(jax.random.PRNGKey(0), **inp)
-    fwd = jax.jit(lambda p_, i_: model.apply(p_, **i_))
-    jax.block_until_ready(fwd(params, inp))  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = fwd(params, inp)
-    jax.block_until_ready(out)
-    ours_fps = args.iters * b * t / (time.perf_counter() - t0)
+    if args.train:
+        import optax
+
+        from pnp_vcve_tpu.train import create_train_state, make_train_step
+
+        batch = dict(
+            lq=inp["lrs"], gt=jnp.asarray(np.moveaxis(gt.numpy(), 2, -1)),
+            qps=inp["qps"], slices=inp["slices"], mvs=inp["mvs"],
+            base_qps=inp["base_qps"], partitions=inp["par_map"],
+        )
+        params = model.init(jax.random.PRNGKey(0), **inp)["params"]
+        state = create_train_state(params, optax.adam(2e-4))
+        step = make_train_step(model, donate=False)
+        state, _ = step(state, batch)  # compile + warm
+        jax.block_until_ready(state.params)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, _ = step(state, batch)
+        jax.block_until_ready(state.params)
+        ours_fps = args.iters * b * t / (time.perf_counter() - t0)
+        metric = "cpu_same_hardware_TRAIN_frames_per_sec"
+    else:
+        params = model.init(jax.random.PRNGKey(0), **inp)
+        fwd = jax.jit(lambda p_, i_: model.apply(p_, **i_))
+        jax.block_until_ready(fwd(params, inp))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fwd(params, inp)
+        jax.block_until_ready(out)
+        ours_fps = args.iters * b * t / (time.perf_counter() - t0)
+        metric = "cpu_same_hardware_frames_per_sec"
 
     print(json.dumps({
-        "metric": "cpu_same_hardware_frames_per_sec",
+        "metric": metric,
         "shape": [b, t, h, w],
         "reference_torch_fps": round(ref_fps, 4),
         "ours_jax_fps": round(ours_fps, 4),
