@@ -343,7 +343,27 @@ def restoration_inference(
 # ---------------------------------------------------------------------------
 
 
+def _read_video_file(path: str) -> np.ndarray:
+    """Decode an .mp4/.mov into (t, h, w, 3) float32 RGB (reference uses
+    mmcv.VideoReader, restoration_video_inference.py:63-70)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    frames = []
+    while True:
+        ok, bgr = cap.read()
+        if not ok:
+            break
+        frames.append(bgr[..., ::-1].astype(np.float32) / 255.0)
+    cap.release()
+    if not frames:
+        raise ValueError(f"no frames decoded from {path}")
+    return np.stack(frames)
+
+
 def _read_frame_dir(img_dir: str, filename_tmpl: str, start_idx: int):
+    if img_dir.lower().endswith(VIDEO_EXTENSIONS):
+        return _read_video_file(img_dir)
     paths = sorted(glob.glob(osp.join(img_dir, "*")))
     # honor the template/start_idx contract when the files match it
     named = [

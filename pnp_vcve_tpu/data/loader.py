@@ -17,7 +17,6 @@ the spirit of the reference's seeded workers (builder.py:182-198).
 
 from __future__ import annotations
 
-import queue
 import threading
 from typing import Callable, Optional, Sequence
 
@@ -73,7 +72,6 @@ class PrefetchLoader:
         self.prefetch = prefetch
         self.sharding = sharding
         self._step = start_step
-        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._next_to_emit = start_step

@@ -158,6 +158,22 @@ def test_restoration_video_inference_pnp_neutral_priors(frame_dir):
     assert np.isfinite(out).all()
 
 
+def test_restoration_video_inference_mp4(tmp_path, rng):
+    """.mp4 input decodes through cv2 (reference mmcv.VideoReader path)."""
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path / "clip.mp4")
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (16, 16))
+    assert wr.isOpened()
+    for _ in range(3):
+        wr.write(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+    wr.release()
+    m = apis.init_model(dict(model=dict(
+        type="BasicVSR",
+        generator=dict(type="BasicVSRNet", mid_channels=8, num_blocks=1))))
+    out = apis.restoration_video_inference(m, path)
+    assert out.shape == (3, 64, 64, 3)
+
+
 def test_video_interpolation_inference(frame_dir, tmp_path):
     m = apis.init_model(dict(model=dict(type="CAINNet", mid_channels=8,
                                         depth=3, num_block_groups=1,
