@@ -56,7 +56,22 @@ _FAST_FILES = {
 }
 
 
+# The SLOW tier (`-m slow`, excluded by `-m "not slow"`): the files that
+# dominate full-suite wall time (round-4 durations: test_baselines ~14 min,
+# test_e2e + zoo forwards most of the rest; test_protocol_eval drives
+# dist_test.sh subprocesses at protocol geometry). CI budget guidance:
+#   -m fast        ~2.5 min   pre-commit
+#   -m "not slow"  ~12 min    per-PR
+#   (everything)   ~40 min    nightly
+_SLOW_FILES = {
+    "test_baselines.py", "test_e2e.py", "test_upstream.py",
+    "test_protocol_eval.py",
+}
+
+
 def pytest_collection_modifyitems(items):
     for it in items:
         if it.path.name in _FAST_FILES:
             it.add_marker(pytest.mark.fast)
+        if it.path.name in _SLOW_FILES:
+            it.add_marker(pytest.mark.slow)
