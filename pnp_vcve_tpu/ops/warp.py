@@ -257,10 +257,17 @@ def _padgather_bwd(border, res, g):
 
     d/dx is the bilinear SPLAT of the cotangent: every out pixel q adds
     w_tap(q) * g[q] to its 4 tap cells. Computed as segment sums with
-    gathers only: flatten the 4 taps' (dest-cell, weighted-cotangent)
-    pairs, sort by dest cell, prefix-sum, and read each cell's segment sum
-    as a difference of prefix sums at searchsorted boundaries. Exact up to
-    f32 summation order; destinations in the pad ring are sliced away
+    gathers only, exploiting that all 4 taps share one BASE cell
+    (y0+1, x0+1) and differ by the constant offsets {0, 1, wp2, wp2+1}:
+    sort the hw base cells ONCE (not 4hw tap cells), segment-sum each
+    tap's weighted-cotangent stream under that one permutation, and
+    compose the result as 4 constant-shifted adds of the per-tap dense
+    maps. One sort of hw keys + one merge-rank searchsorted replace the
+    round-4 form's 4hw-key versions (measured 0.53 -> 0.40 s of the
+    1.73 s recipe-shape train step; tools/splat_probe.py). The prefix
+    sums of the 4 streams are fused column-blocks of ONE (hw+1, 4c)
+    cumsum so the boundary takes stay 2 gathers. Exact up to f32
+    summation order; destinations in the pad ring are sliced away
     (their forward reads were the structural zeros).
 
     d/dflow re-runs the blend with the re-gathered blocks held constant —
@@ -283,31 +290,50 @@ def _padgather_bwd(border, res, g):
 
     gf = g.reshape(-1, c).astype(jnp.float32)
     wp2 = w + 2
-    base_y = (y0i + 1).reshape(-1)
-    base_x = (x0i + 1).reshape(-1)
-    idxs, vals = [], []
-    for ty, wy_t in ((0, wy0), (1, wy1)):
-        for tx, wx_t in ((0, wx0), (1, wx1)):
-            wgt = (wy_t * wx_t).reshape(-1, 1).astype(jnp.float32)
-            idxs.append((base_y + ty) * wp2 + (base_x + tx))
-            vals.append(gf * wgt)
-    idx = jnp.concatenate(idxs)
-    val = jnp.concatenate(vals, axis=0)
-    sidx, perm = jax.lax.sort_key_val(
-        idx, jnp.arange(idx.shape[0], dtype=jnp.int32)
+    base = (y0i + 1).reshape(-1) * wp2 + (x0i + 1).reshape(-1)  # (hw,)
+    sbase, perm = jax.lax.sort_key_val(
+        base, jnp.arange(base.shape[0], dtype=jnp.int32)
     )
+    # the 4 taps' weighted cotangents as column blocks of one value row:
+    # one perm-gather, one cumsum, two boundary takes for all 4 streams
+    val = jnp.concatenate(
+        [
+            gf * (wy_t * wx_t).reshape(-1, 1).astype(jnp.float32)
+            for wy_t in (wy0, wy1)
+            for wx_t in (wx0, wx1)
+        ],
+        axis=1,
+    )  # (hw, 4c), tap order (ty, tx) = (0,0),(0,1),(1,0),(1,1)
     sval = jnp.take(val, perm, axis=0)
     cs0 = jnp.concatenate(
-        [jnp.zeros((1, c), jnp.float32), jnp.cumsum(sval, axis=0)], axis=0
+        [jnp.zeros((1, 4 * c), jnp.float32), jnp.cumsum(sval, axis=0)],
+        axis=0,
     )
-    cells = jnp.arange((h + 2) * wp2, dtype=sidx.dtype)
+    cells = jnp.arange((h + 2) * wp2, dtype=sbase.dtype)
     # method='sort' (merge-rank) beats the default binary scan on TPU:
-    # the scan's 17 dependent 1-row gather rounds are issue-rate-bound
+    # the scan's dependent 1-row gather rounds are issue-rate-bound
     # (measured 229 -> 177 ms per 75-frame splat batch)
-    hi = jnp.searchsorted(sidx, cells, side="right", method="sort")
+    hi = jnp.searchsorted(sbase, cells, side="right", method="sort")
     lo = jnp.concatenate([jnp.zeros((1,), hi.dtype), hi[:-1]])
-    dense = jnp.take(cs0, hi, axis=0) - jnp.take(cs0, lo, axis=0)
-    dx = dense.reshape(h + 2, wp2, c)[1:-1, 1:-1].astype(x.dtype)
+    seg = (jnp.take(cs0, hi, axis=0) - jnp.take(cs0, lo, axis=0)).reshape(
+        h + 2, wp2, 4, c
+    )
+    # dense[cell] = sum_tap seg_tap[cell - off_tap]: constant shifts
+    z_row = jnp.zeros((1, wp2, c), jnp.float32)
+    z_col = jnp.zeros((h + 2, 1, c), jnp.float32)
+    sh_x = lambda a: jnp.concatenate(  # noqa: E731
+        [z_col, a[:, :-1]], axis=1
+    )
+    sh_y = lambda a: jnp.concatenate(  # noqa: E731
+        [z_row, a[:-1]], axis=0
+    )
+    dense = (
+        seg[:, :, 0]
+        + sh_x(seg[:, :, 1])
+        + sh_y(seg[:, :, 2])
+        + sh_y(sh_x(seg[:, :, 3]))
+    )
+    dx = dense[1:-1, 1:-1].astype(x.dtype)
     return dx, dflow.astype(flow.dtype)
 
 

@@ -44,6 +44,11 @@ def main():
                    "basicvsr.py:84-117 train_step vs our jitted "
                    "make_train_step — the reference-anchored training "
                    "throughput denominator")
+    p.add_argument("--side", choices=["both", "ref", "ours"], default="both",
+                   help="run only one side (each half of the --train "
+                   "comparison can exceed a single-core wall budget; run "
+                   "the sides as separate bounded invocations and combine "
+                   "the printed fps)")
     args = p.parse_args()
 
     import numpy as np
@@ -72,11 +77,14 @@ def main():
     base_qps = torch.rand(b, t, 1, 1, 1)
     par = torch.rand(b, t, 3, h, w)
 
-    if args.train:
+    ref_fps = None
+    gt = torch.rand(b, t, 3, h, w)
+    if args.side == "ours":
+        pass
+    elif args.train:
         # reference train_step semantics (basicvsr.py:84-117): Charbonnier
         # pixel loss, Adam(2e-4) — one optimizer step per iteration
         ref = ref.train()
-        gt = torch.rand(b, t, 3, h, w)
         opt = torch.optim.Adam(ref.parameters(), lr=2e-4)
 
         def ref_step():
@@ -99,14 +107,30 @@ def main():
                 ref(lrs, qps, slices, mvs, base_qps, par)
             ref_fps = args.iters * b * t / (time.perf_counter() - t0)
 
+    ours_fps = None
+    metric = (
+        "cpu_same_hardware_TRAIN_frames_per_sec"
+        if args.train
+        else "cpu_same_hardware_frames_per_sec"
+    )
+    if args.side == "ref":
+        print(json.dumps({
+            "metric": metric, "shape": [b, t, h, w],
+            "reference_torch_fps": round(ref_fps, 4),
+        }))
+        return
+
     import jax
     import jax.numpy as jnp
 
     from pnp_vcve_tpu.models import PnPVCVE
 
-    # training contract: padgather warp + remat (train/train_step.py);
-    # inference comparison keeps the unremat forward
-    model = PnPVCVE() if args.train else PnPVCVE(remat=False)
+    # padgather warp either way; remat=False for BOTH comparisons: the
+    # reference does no activation checkpointing (basicvsr.py:84-117), so
+    # the apples-to-apples train step is unremat too (remat is our
+    # TPU-HBM capacity tradeoff, and its CPU-backend compile alone
+    # exceeds a 29-minute wall budget on this host)
+    model = PnPVCVE(remat=False)
     nhwc = lambda x: jnp.asarray(np.moveaxis(x.numpy(), 2, -1))  # noqa: E731
     flat = lambda x: jnp.asarray(x.numpy()[:, :, 0, 0, 0])  # noqa: E731
     inp = dict(
@@ -133,7 +157,6 @@ def main():
             state, _ = step(state, batch)
         jax.block_until_ready(state.params)
         ours_fps = args.iters * b * t / (time.perf_counter() - t0)
-        metric = "cpu_same_hardware_TRAIN_frames_per_sec"
     else:
         params = model.init(jax.random.PRNGKey(0), **inp)
         fwd = jax.jit(lambda p_, i_: model.apply(p_, **i_))
@@ -143,15 +166,13 @@ def main():
             out = fwd(params, inp)
         jax.block_until_ready(out)
         ours_fps = args.iters * b * t / (time.perf_counter() - t0)
-        metric = "cpu_same_hardware_frames_per_sec"
 
-    print(json.dumps({
-        "metric": metric,
-        "shape": [b, t, h, w],
-        "reference_torch_fps": round(ref_fps, 4),
-        "ours_jax_fps": round(ours_fps, 4),
-        "speedup_same_hardware": round(ours_fps / ref_fps, 3),
-    }))
+    out = {"metric": metric, "shape": [b, t, h, w],
+           "ours_jax_fps": round(ours_fps, 4)}
+    if ref_fps is not None:
+        out["reference_torch_fps"] = round(ref_fps, 4)
+        out["speedup_same_hardware"] = round(ours_fps / ref_fps, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
